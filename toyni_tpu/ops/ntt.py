@@ -1,0 +1,116 @@
+"""Number-theoretic transform over BabyBear, TPU-native.
+
+Functionally equivalent to the reference's CPU NTT (reference: src/ntt.rs:24-66)
+and CUDA NTT (cuda/ntt_kernel.cu:119-143), but structured for XLA: no in-place
+scalar butterflies — each of the log2(n) stages is a whole-array reshape +
+vectorized Montgomery butterfly, so the VPU processes n/2 butterflies per stage
+in parallel. The bit-reverse permutation is a single static gather.
+
+Twiddle tables are precomputed per (n, omega) in Montgomery form and cached —
+the analog of the reference CUDA path's persistent per-size `NttCtx`
+(cuda/ntt_kernel.cu:202-292, src/ntt.rs:128-141); here the table cache plus
+XLA's compilation cache (keyed on shape) play that role, with no H2D/D2H
+round-trips because everything stays on device.
+
+Transforms apply along the **last** axis; leading axes are batch (used e.g. by
+the extension-field transform = 4 batched base transforms).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import babybear as bb
+from ..field.babybear import P, MONT_R
+
+_U32 = jnp.uint32
+
+
+def bit_reverse_permutation(n: int) -> np.ndarray:
+    """Index array rev such that out[i] = in[rev[i]] (src/ntt.rs:13-21)."""
+    log_n = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, np.int64)
+    x = idx.copy()
+    for _ in range(log_n):
+        rev = (rev << 1) | (x & 1)
+        x >>= 1
+    return rev
+
+
+def np_powers(base: int, n: int) -> np.ndarray:
+    """[base^0 .. base^(n-1)] mod p as numpy uint64, via the vectorized binary
+    method (log n passes; u64 products of 31-bit values are exact)."""
+    base %= P
+    idx = np.arange(n, dtype=np.uint64)
+    result = np.ones(n, np.uint64)
+    sq = base
+    for b in range(max(1, (n - 1).bit_length())):
+        bit = (idx >> np.uint64(b)) & np.uint64(1)
+        result = np.where(bit == 1, result * np.uint64(sq) % np.uint64(P), result)
+        sq = sq * sq % P
+    return result
+
+
+@functools.lru_cache(maxsize=64)
+def _twiddle_tables(n: int, omega: int) -> tuple:
+    """Per-stage twiddle vectors in Montgomery form, as numpy uint32.
+
+    Stage s (len = 2^s) uses [omega^(n/len * j) for j < len/2] — the same
+    packed-table layout as the CUDA kernel (cuda/ntt_kernel.cu:145-185), kept
+    per-stage so each stage's broadcast is shape-exact.
+    """
+    tables = []
+    log_n = n.bit_length() - 1
+    for s in range(1, log_n + 1):
+        length = 1 << s
+        half = length >> 1
+        w_len = pow(omega, n // length, P)
+        tw = np_powers(w_len, half) * np.uint64(MONT_R) % np.uint64(P)
+        tables.append(tw.astype(np.uint32))
+    return tuple(tables)
+
+
+@functools.lru_cache(maxsize=64)
+def _bitrev(n: int) -> np.ndarray:
+    return bit_reverse_permutation(n)
+
+
+def ntt_stages(values: jnp.ndarray, twiddles: tuple) -> jnp.ndarray:
+    """Apply bit-reverse + all butterfly stages. `twiddles` is a tuple of
+    per-stage uint32 arrays (Montgomery form), stage s having 2^s entries."""
+    n = values.shape[-1]
+    log_n = n.bit_length() - 1
+    assert len(twiddles) == log_n
+    v = jnp.take(values, jnp.asarray(_bitrev(n)), axis=-1)
+    lead = values.shape[:-1]
+    for s in range(1, log_n + 1):
+        length = 1 << s
+        half = length >> 1
+        v = v.reshape(*lead, n // length, 2, half)
+        u = v[..., 0, :]
+        t = bb.mont_mul(v[..., 1, :], twiddles[s - 1])
+        v = jnp.concatenate([bb.add(u, t), bb.sub(u, t)], axis=-1)
+        v = v.reshape(*lead, n)
+    return v
+
+
+def ntt(values: jnp.ndarray, omega: int) -> jnp.ndarray:
+    """Forward NTT: out[k] = sum_j values[j] * omega^(jk)  (src/ntt.rs:24-53)."""
+    n = values.shape[-1]
+    tw = tuple(jnp.asarray(t) for t in _twiddle_tables(n, omega))
+    return ntt_stages(values, tw)
+
+
+def intt(values: jnp.ndarray, omega: int) -> jnp.ndarray:
+    """Inverse NTT: forward transform with omega^(n-1), then scale by n^{-1}
+    (src/ntt.rs:56-66)."""
+    n = values.shape[-1]
+    inv_omega = pow(omega, n - 1, P)
+    v = ntt(values, inv_omega)
+    n_inv = pow(n, P - 2, P)
+    return bb.mul_const(v, n_inv)
