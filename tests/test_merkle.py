@@ -1,0 +1,124 @@
+"""SHA-256 + Merkle tests: device kernels vs hashlib, tree semantics vs the
+reference (reference tests: src/merkle.rs:125-190)."""
+
+import hashlib
+
+import numpy as np
+import jax.numpy as jnp
+
+from toyni_tpu.ops import sha256 as sha
+from toyni_tpu import merkle
+from toyni_tpu.field.babybear import P
+
+RNG = np.random.default_rng(42)
+
+
+def ref_salted_leaf_bytes(value: int, salt: bytes) -> bytes:
+    return salt + int(value).to_bytes(8, "little")
+
+
+def ref_unsalted_leaf_bytes(value: int) -> bytes:
+    return int(value).to_bytes(8, "little")
+
+
+# ── batched SHA-256 vs hashlib ──────────────────────────────────────────────
+
+def test_salted_leaf_hash_matches_hashlib():
+    n = 257  # odd on purpose
+    values = RNG.integers(0, P, n, dtype=np.uint64).astype(np.uint32)
+    salts = RNG.integers(0, 256, (n, 16), dtype=np.uint64).astype(np.uint8)
+    got = sha.hash_salted_leaves(jnp.asarray(values), jnp.asarray(salts))
+    got = np.asarray(got, np.uint32)
+    for i in range(0, n, 17):
+        expect = hashlib.sha256(
+            b"\x00" + bytes(salts[i]) + int(values[i]).to_bytes(8, "little")
+        ).digest()
+        assert sha.digest_bytes(got[i]) == expect, f"leaf {i}"
+
+
+def test_unsalted_leaf_hash_matches_hashlib():
+    values = np.array([0, 1, P - 1, 123456789], np.uint32)
+    got = np.asarray(sha.hash_unsalted_leaves(jnp.asarray(values)), np.uint32)
+    for i, v in enumerate(values):
+        expect = hashlib.sha256(b"\x00" + int(v).to_bytes(8, "little")).digest()
+        assert sha.digest_bytes(got[i]) == expect
+
+
+def test_node_hash_matches_hashlib():
+    n = 64
+    left = RNG.integers(0, 2**32, (n, 8), dtype=np.uint64).astype(np.uint32)
+    right = RNG.integers(0, 2**32, (n, 8), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(sha.hash_nodes(jnp.asarray(left), jnp.asarray(right)), np.uint32)
+    for i in range(0, n, 7):
+        lb = sha.digest_bytes(left[i])
+        rb = sha.digest_bytes(right[i])
+        expect = hashlib.sha256(b"\x01" + lb + rb).digest()
+        assert sha.digest_bytes(got[i]) == expect
+
+
+# ── tree semantics ──────────────────────────────────────────────────────────
+
+def _build_and_check(n):
+    values = RNG.integers(0, P, n, dtype=np.uint64).astype(np.uint32)
+    salts = RNG.integers(0, 256, (n, 16), dtype=np.uint64).astype(np.uint8)
+    tree = merkle.build_salted_tree(jnp.asarray(values), salts)
+    root = tree.root()
+    # root matches the host hashlib oracle
+    oracle_root = merkle.host_tree_root(
+        [ref_salted_leaf_bytes(int(values[i]), bytes(salts[i])) for i in range(n)]
+    )
+    assert root == oracle_root
+    # every proof verifies; wrong leaf rejected
+    for i in range(n):
+        proof = tree.get_proof(i)
+        leaf = ref_salted_leaf_bytes(int(values[i]), bytes(salts[i]))
+        assert merkle.verify_merkle_proof(leaf, proof, root), f"leaf {i}"
+        bad = ref_salted_leaf_bytes((int(values[i]) + 1) % P, bytes(salts[i]))
+        assert not merkle.verify_merkle_proof(bad, proof, root)
+
+
+def test_tree_pow2():
+    _build_and_check(8)
+
+
+def test_tree_odd():
+    # reference: src/merkle.rs:146-155 (odd-duplication path)
+    _build_and_check(3)
+    _build_and_check(5)
+    _build_and_check(13)
+
+
+def test_tree_single_leaf():
+    # reference: src/merkle.rs:158-165
+    _build_and_check(1)
+
+
+def test_unsalted_tree_matches_verifier_recompute():
+    # the final-FRI-layer contract: verifier recomputes the root from values
+    # (src/verifier.rs:241-244)
+    values = RNG.integers(0, P, 8, dtype=np.uint64).astype(np.uint32)
+    tree = merkle.build_unsalted_tree(jnp.asarray(values))
+    oracle_root = merkle.host_tree_root(
+        [ref_unsalted_leaf_bytes(int(v)) for v in values]
+    )
+    assert tree.root() == oracle_root
+
+
+def test_leaf_node_domain_separation():
+    # reference: src/merkle.rs:179-189 — an inner node hash committed as a
+    # leaf yields a different root
+    a = hashlib.sha256(b"\x00" + b"a").digest()
+    b = hashlib.sha256(b"\x00" + b"b").digest()
+    node_root = merkle.hash_node_bytes(a, b)
+    masquerade = merkle.host_tree_root([node_root])
+    assert masquerade != node_root
+
+
+def test_two_block_message_boundary():
+    # node hashing crosses the 64-byte block boundary (65-byte message);
+    # check against hashlib for adversarial byte patterns
+    left = np.full((1, 8), 0xFFFFFFFF, np.uint32)
+    right = np.zeros((1, 8), np.uint32)
+    got = np.asarray(sha.hash_nodes(jnp.asarray(left), jnp.asarray(right)), np.uint32)
+    expect = hashlib.sha256(b"\x01" + b"\xff" * 32 + b"\x00" * 32).digest()
+    assert sha.digest_bytes(got[0]) == expect

@@ -1,0 +1,145 @@
+"""End-to-end prover/verifier tests: happy path, ZK property, invalid-trace
+panic, and the tamper-based soundness suite (reference tests:
+src/fibonacci.rs:415-456, src/verifier.rs:269-379)."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from toyni_tpu.field.babybear import P
+from toyni_tpu.prover import StarkProver
+from toyni_tpu.verifier import StarkVerifier
+from toyni_tpu.trace import ExecutionTrace
+from toyni_tpu import proof as proof_mod
+
+
+def fibonacci_list(n):
+    """u64-wrapping Fibonacci then mod p — matches the reference's trace
+    construction (fibonacci.rs:444-455 with BabyBear::new)."""
+    fibs, a, b = [], 1, 1
+    for _ in range(n):
+        fibs.append(a % P)
+        a, b = b, (a + b) % (1 << 64)
+    return fibs
+
+
+def make_trace(n=64):
+    t = ExecutionTrace()
+    t.insert_column(fibonacci_list(n))
+    return t
+
+
+@pytest.fixture(scope="module")
+def valid_proof():
+    return StarkProver(make_trace(), seed=1).generate_proof()
+
+
+def test_verifier_accepts_valid_proof(valid_proof):
+    assert StarkVerifier().verify(valid_proof)
+
+
+def test_proof_shape(valid_proof):
+    # reference config: trace 64 -> LDE 2048, 8 folds, final layer 8
+    # (derived from fibonacci.rs:220-221, verifier.rs:59-64)
+    p = valid_proof
+    assert p.trace_len == 64 and p.lde_size == 2048
+    assert len(p.fri_commitments) == 9  # 8 folds + layer 0
+    assert len(p.fri_final_layer) == 8
+    assert len(set(p.fri_final_layer)) == 1  # constant codeword
+    assert len(p.query_proofs) == 44
+    for qp in p.query_proofs:
+        assert len(qp.fri_openings) == 7  # intermediate layers 1..7
+
+
+def test_masking_is_zero_knowledge():
+    # fresh blinding => different openings, both verify (verifier.rs:304-312)
+    p1 = StarkProver(make_trace(), seed=2).generate_proof()
+    p2 = StarkProver(make_trace(), seed=3).generate_proof()
+    v = StarkVerifier()
+    assert v.verify(p1) and v.verify(p2)
+    assert p1.t_z != p2.t_z, "masking should randomize the openings"
+
+
+def test_deterministic_with_same_seed():
+    p1 = StarkProver(make_trace(), seed=7).generate_proof()
+    p2 = StarkProver(make_trace(), seed=7).generate_proof()
+    assert p1.t_z == p2.t_z and p1.trace_commitment == p2.trace_commitment
+
+
+def test_invalid_trace_fails_at_proving():
+    # reference: #[should_panic] on corrupted trace (fibonacci.rs:431-442)
+    vals = fibonacci_list(64)
+    for i in range(1, 50):
+        vals[i] = i * 3143 % P
+    t = ExecutionTrace()
+    t.insert_column(vals)
+    with pytest.raises(ValueError, match="Constraint check at z failed"):
+        StarkProver(t, seed=1).generate_proof()
+
+
+# ── tamper suite (verifier.rs:315-379) ──────────────────────────────────────
+
+def test_rejects_bad_ood_value(valid_proof):
+    p = copy.deepcopy(valid_proof)
+    p.t_z = (p.t_z + 1) % P
+    assert not StarkVerifier().verify(p)
+
+
+def test_rejects_bad_fri_final(valid_proof):
+    p = copy.deepcopy(valid_proof)
+    p.fri_final_layer[0] = (p.fri_final_layer[0] + 1) % P
+    assert not StarkVerifier().verify(p)
+
+
+def test_rejects_bad_trace_commitment(valid_proof):
+    p = copy.deepcopy(valid_proof)
+    p.trace_commitment = bytes([p.trace_commitment[0] ^ 0xFF]) + p.trace_commitment[1:]
+    assert not StarkVerifier().verify(p)
+
+
+def test_rejects_bad_quotient_commitment(valid_proof):
+    p = copy.deepcopy(valid_proof)
+    p.quotient_commitment = (
+        bytes([p.quotient_commitment[0] ^ 0xFF]) + p.quotient_commitment[1:]
+    )
+    assert not StarkVerifier().verify(p)
+
+
+def test_rejects_bad_fri_commitment(valid_proof):
+    p = copy.deepcopy(valid_proof)
+    p.fri_commitments[0] = (
+        bytes([p.fri_commitments[0][0] ^ 0xFF]) + p.fri_commitments[0][1:]
+    )
+    assert not StarkVerifier().verify(p)
+
+
+def test_rejects_wrong_query_count(valid_proof):
+    p = copy.deepcopy(valid_proof)
+    p.query_proofs.pop()
+    assert not StarkVerifier().verify(p)
+
+
+def test_rejects_tampered_opening_value(valid_proof):
+    p = copy.deepcopy(valid_proof)
+    op = p.query_proofs[0].trace_opening
+    op.value = (op.value + 1) % P
+    assert not StarkVerifier().verify(p)
+
+
+def test_rejects_wrong_lde_size(valid_proof):
+    p = copy.deepcopy(valid_proof)
+    p.lde_size = p.lde_size // 2
+    assert not StarkVerifier().verify(p)
+
+
+# ── serialization round trip ────────────────────────────────────────────────
+
+def test_proof_serialization_roundtrip(valid_proof):
+    blob = proof_mod.serialize(valid_proof)
+    back = proof_mod.deserialize(blob)
+    assert StarkVerifier().verify(back)
+    assert proof_mod.serialize(back) == blob
+    # serialization is canonical: tampered blob -> rejected or unequal
+    assert back.t_z == valid_proof.t_z
+    assert back.fri_commitments == valid_proof.fri_commitments

@@ -158,6 +158,20 @@ def inv(a):
     return pow_const(a, P - 2)
 
 
+def sum_mod(v, axis: int = -1):
+    """Modular sum along an axis via log-depth pairwise folding (a plain
+    jnp.sum would overflow uint32)."""
+    v = jnp.moveaxis(v, axis, -1)
+    n = v.shape[-1]
+    while n > 1:
+        if n % 2:
+            v = jnp.concatenate([v, jnp.zeros((*v.shape[:-1], 1), _U32)], axis=-1)
+            n += 1
+        v = add(v[..., : n // 2], v[..., n // 2 :])
+        n //= 2
+    return v[..., 0]
+
+
 # ── host-side scalar helpers (Python ints, exact) ────────────────────────────
 
 def h_mul(a: int, b: int) -> int:

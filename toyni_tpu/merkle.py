@@ -1,0 +1,134 @@
+"""Salted SHA-256 Merkle commitments, TPU-batched.
+
+Same tree semantics as the reference (reference: src/merkle.rs): leaf level =
+SHA256(0x00 || leaf), inner node = SHA256(0x01 || left || right), the last
+node of an odd level duplicated as its own sibling, all levels retained for
+proof extraction. The structural change: leaf and node hashing happen as
+*batched device kernels* (one call per level hashing every node in parallel —
+the reference's per-leaf loop at src/merkle.rs:30-47 has no cross-leaf
+dependency, which is exactly what the VPU exploits), and the finished levels
+are pulled to the host once for path extraction, which is pure indexing.
+
+Salting (hiding commitments, src/fibonacci.rs:327-353): leaf_i =
+H(salt_i(16B) || value_i(8B LE)); the final FRI layer commits unsalted
+(src/fibonacci.rs:357-363).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from .ops import sha256 as sha
+
+
+@dataclass
+class MerkleProof:
+    """Sibling path bottom-up; position[i] True = sibling is on the LEFT of
+    the current hash (i.e. current index was odd) — same convention as the
+    reference's `position` flags (src/merkle.rs:60-75)."""
+
+    path: list  # list[bytes], 32-byte digests
+    position: list  # list[bool]
+
+
+class MerkleTree:
+    """A fully-built tree: levels[0] = leaf digests ... levels[-1] = [root].
+
+    Levels are stored as host numpy (n_i, 8) uint32 arrays; building happens
+    on device via `build_levels`.
+    """
+
+    def __init__(self, levels: list):
+        self.levels = levels  # list of np.ndarray (n_i, 8) uint32
+
+    @property
+    def num_leaves(self) -> int:
+        return len(self.levels[0])
+
+    def root(self) -> bytes:
+        return sha.digest_bytes(self.levels[-1][0])
+
+    def get_proof(self, index: int) -> MerkleProof:
+        if index >= self.num_leaves:
+            raise IndexError("leaf index out of bounds")
+        path, position = [], []
+        cur = index
+        for level in self.levels[:-1]:
+            sib = cur + 1 if cur % 2 == 0 else cur - 1
+            if sib >= len(level):
+                # odd level: last node is its own sibling, treated as right
+                # (src/merkle.rs:67-71)
+                path.append(sha.digest_bytes(level[cur]))
+                position.append(True)
+            else:
+                path.append(sha.digest_bytes(level[sib]))
+                position.append(cur % 2 == 1)
+            cur //= 2
+        return MerkleProof(path, position)
+
+
+def build_levels(leaf_digests: jnp.ndarray) -> list:
+    """Hash pairwise up from (n, 8) u32 leaf digests; returns host levels.
+
+    Each level is one batched `hash_nodes` call over all pairs; odd levels
+    duplicate the last node (src/merkle.rs:34-47).
+    """
+    levels = [leaf_digests]
+    cur = leaf_digests
+    while cur.shape[0] > 1:
+        if cur.shape[0] % 2 == 1:
+            cur = jnp.concatenate([cur, cur[-1:]], axis=0)
+        nxt = sha.hash_nodes(cur[0::2], cur[1::2])
+        levels.append(nxt)
+        cur = nxt
+    return [np.asarray(l, np.uint32) for l in levels]
+
+
+def build_salted_tree(values: jnp.ndarray, salts: np.ndarray) -> MerkleTree:
+    """Hiding commitment to a (n,) u32 value vector with (n, 16) u8 salts
+    (the analog of build_merkle_tree, src/fibonacci.rs:340-353)."""
+    digests = sha.hash_salted_leaves(values, jnp.asarray(salts))
+    return MerkleTree(build_levels(digests))
+
+
+def build_unsalted_tree(values: jnp.ndarray) -> MerkleTree:
+    """Public commitment (leaf = value bytes), for the final FRI layer
+    (src/fibonacci.rs:357-363)."""
+    digests = sha.hash_unsalted_leaves(values)
+    return MerkleTree(build_levels(digests))
+
+
+# ── host-side verification (the verifier's oracle path) ─────────────────────
+
+def hash_leaf_bytes(data: bytes) -> bytes:
+    """SHA256(0x00 || data) (src/merkle.rs:109-114)."""
+    return hashlib.sha256(b"\x00" + data).digest()
+
+
+def hash_node_bytes(left: bytes, right: bytes) -> bytes:
+    """SHA256(0x01 || left || right) (src/merkle.rs:117-123)."""
+    return hashlib.sha256(b"\x01" + left + right).digest()
+
+
+def verify_merkle_proof(leaf: bytes, proof: MerkleProof, root: bytes) -> bool:
+    """Stateless path verification (src/merkle.rs:87-101)."""
+    cur = hash_leaf_bytes(leaf)
+    for sibling, is_right in zip(proof.path, proof.position):
+        cur = hash_node_bytes(sibling, cur) if is_right else hash_node_bytes(cur, sibling)
+    return cur == root
+
+
+def host_tree_root(leaves: list) -> bytes:
+    """Host (hashlib) tree build, the differential oracle for `build_levels`
+    and the verifier's unsalted-root recomputation (src/verifier.rs:241-244).
+    `leaves` is a list of byte strings."""
+    level = [hash_leaf_bytes(l) for l in leaves]
+    while len(level) > 1:
+        if len(level) % 2 == 1:
+            level.append(level[-1])
+        level = [hash_node_bytes(level[i], level[i + 1]) for i in range(0, len(level), 2)]
+    return level[0]

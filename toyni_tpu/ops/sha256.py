@@ -1,0 +1,180 @@
+"""Batched SHA-256 for TPU: thousands of independent messages hashed in
+parallel over uint32 VPU lanes.
+
+The reference hashes leaves/nodes one at a time through the `sha2` crate
+(reference: src/merkle.rs:105-123, src/lib.rs:14-18). A single SHA-256
+compression is serial by construction, so the TPU win is batching: every
+Merkle level hashes all its nodes simultaneously — state is a ``(..., 8)``
+uint32 array, one message per lane, and the 64 rounds are an unrolled
+elementwise program (rotations = shift+or, adds = native uint32 wraparound).
+
+Message formats are the three fixed shapes of the protocol:
+  * salted leaf    SHA256(0x00 || salt16 || value8LE)   — 25 B, one block
+  * unsalted leaf  SHA256(0x00 || value8LE)             —  9 B, one block
+  * inner node     SHA256(0x01 || left32 || right32)    — 65 B, two blocks
+(leaf/node domain tags: src/merkle.rs:105-123; salted/unsalted leaf
+encodings: src/fibonacci.rs:340-363).
+
+Digests are carried as ``(..., 8)`` uint32 big-endian words; `digest_bytes` /
+`words_from_bytes` convert at the host boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+_U32 = jnp.uint32
+_U8 = jnp.uint8
+
+# FIPS 180-4 constants.
+_K = np.array([
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2,
+], dtype=np.uint32)
+
+_H0 = np.array([
+    0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+    0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19,
+], dtype=np.uint32)
+
+
+def _rotr(x, n: int):
+    return (x >> n) | (x << (32 - n))
+
+
+def compress(state, block):
+    """One SHA-256 compression. state: (..., 8) u32; block: (..., 16) u32."""
+    w = [block[..., t] for t in range(16)]
+    for t in range(16, 64):
+        s0 = _rotr(w[t - 15], 7) ^ _rotr(w[t - 15], 18) ^ (w[t - 15] >> 3)
+        s1 = _rotr(w[t - 2], 17) ^ _rotr(w[t - 2], 19) ^ (w[t - 2] >> 10)
+        w.append(w[t - 16] + s0 + w[t - 7] + s1)
+
+    a, b, c, d, e, f, g, h = (state[..., i] for i in range(8))
+    for t in range(64):
+        S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = h + S1 + ch + jnp.uint32(int(_K[t])) + w[t]
+        S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = S0 + maj
+        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
+    out = jnp.stack([a, b, c, d, e, f, g, h], axis=-1)
+    return state + out
+
+
+def sha256_blocks(blocks):
+    """Full SHA-256 over pre-padded blocks: (..., nblocks, 16) u32 -> (..., 8)."""
+    nblocks = blocks.shape[-2]
+    state = jnp.broadcast_to(jnp.asarray(_H0), (*blocks.shape[:-2], 8))
+    for i in range(nblocks):
+        state = compress(state, blocks[..., i, :])
+    return state
+
+
+def pack_words(byte_arr):
+    """(..., 4k) u8 -> (..., k) u32 big-endian words."""
+    b = byte_arr.astype(_U32).reshape(*byte_arr.shape[:-1], byte_arr.shape[-1] // 4, 4)
+    return (b[..., 0] << 24) | (b[..., 1] << 16) | (b[..., 2] << 8) | b[..., 3]
+
+
+def unpack_words(words):
+    """(..., k) u32 -> (..., 4k) u8 big-endian bytes."""
+    parts = jnp.stack(
+        [(words >> 24) & 0xFF, (words >> 16) & 0xFF, (words >> 8) & 0xFF, words & 0xFF],
+        axis=-1,
+    ).astype(_U8)
+    return parts.reshape(*words.shape[:-1], words.shape[-1] * 4)
+
+
+def _value_le8(values):
+    """(...,) u32 field values -> (..., 8) u8, the 8-byte LE u64 encoding of
+    the reference (src/babybear.rs:53-56; high 4 bytes are zero since v < p)."""
+    v = values.astype(_U32)
+    z = jnp.zeros_like(v, dtype=_U8)
+    return jnp.stack(
+        [
+            (v & 0xFF).astype(_U8), ((v >> 8) & 0xFF).astype(_U8),
+            ((v >> 16) & 0xFF).astype(_U8), ((v >> 24) & 0xFF).astype(_U8),
+            z, z, z, z,
+        ],
+        axis=-1,
+    )
+
+
+def _single_block(msg_bytes, msg_len: int):
+    """Pad a (..., msg_len) u8 message (msg_len <= 55) into one 16-word block."""
+    lead = msg_bytes.shape[:-1]
+    pad80 = jnp.full((*lead, 1), 0x80, _U8)
+    # 64 = msg_len + 1 (0x80) + zeros + 2 (length; bit lengths here < 2^16 so
+    # the leading 6 bytes of the 8-byte length field are part of the zeros)
+    zeros = jnp.zeros((*lead, 61 - msg_len), _U8)
+    bitlen = msg_len * 8
+    lenb = jnp.broadcast_to(
+        jnp.asarray([(bitlen >> 8) & 0xFF, bitlen & 0xFF], np.uint8), (*lead, 2)
+    )
+    return pack_words(jnp.concatenate([msg_bytes, pad80, zeros, lenb], axis=-1))
+
+
+def hash_salted_leaves(values, salts):
+    """SHA256(0x00 || salt || value8LE) for every lane.
+
+    values: (...,) u32 standard-form field elements; salts: (..., 16) u8.
+    Returns (..., 8) u32 digests. (Leaf encoding: src/fibonacci.rs:340-353 +
+    leaf tag src/merkle.rs:105-113.)
+    """
+    lead = values.shape
+    tag = jnp.zeros((*lead, 1), _U8)
+    msg = jnp.concatenate([tag, salts.astype(_U8), _value_le8(values)], axis=-1)
+    return sha256_blocks(_single_block(msg, 25)[..., None, :])
+
+
+def hash_unsalted_leaves(values):
+    """SHA256(0x00 || value8LE): the public final-FRI-layer leaves
+    (src/fibonacci.rs:357-363)."""
+    lead = values.shape
+    tag = jnp.zeros((*lead, 1), _U8)
+    msg = jnp.concatenate([tag, _value_le8(values)], axis=-1)
+    return sha256_blocks(_single_block(msg, 9)[..., None, :])
+
+
+def hash_nodes(left, right):
+    """SHA256(0x01 || left || right) for (..., 8) u32 digest pairs
+    (src/merkle.rs:117-123). 65-byte message -> two blocks."""
+    lead = left.shape[:-1]
+    lb = unpack_words(left)   # (..., 32) u8
+    rb = unpack_words(right)
+    tag = jnp.ones((*lead, 1), _U8)
+    first = jnp.concatenate([tag, lb, rb[..., :31]], axis=-1)  # 64 bytes
+    block1 = pack_words(first)
+    pad80 = jnp.full((*lead, 1), 0x80, _U8)
+    zeros = jnp.zeros((*lead, 60), _U8)  # 64 = 1 (last right byte) + 1 + 60 + 2
+    bitlen = 65 * 8  # 520 = 0x0208
+    lenb = jnp.broadcast_to(
+        jnp.asarray([(bitlen >> 8) & 0xFF, bitlen & 0xFF], np.uint8), (*lead, 2)
+    )
+    second = jnp.concatenate([rb[..., 31:32], pad80, zeros, lenb], axis=-1)
+    block2 = pack_words(second)
+    return sha256_blocks(jnp.stack([block1, block2], axis=-2))
+
+
+# ── host boundary helpers ───────────────────────────────────────────────────
+
+def digest_bytes(words) -> bytes:
+    """One (8,) u32 digest -> its canonical 32-byte big-endian form."""
+    return b"".join(int(w).to_bytes(4, "big") for w in np.asarray(words, np.uint64))
+
+
+def words_from_bytes(digest: bytes) -> np.ndarray:
+    """32-byte digest -> (8,) u32 words."""
+    return np.frombuffer(digest, dtype=">u4").astype(np.uint32)

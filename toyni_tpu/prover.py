@@ -1,0 +1,262 @@
+"""Zero-knowledge DEEP-ALI STARK prover, TPU-native.
+
+Produces proofs with the reference protocol's exact shape and transcript
+(reference: src/fibonacci.rs:99-310), but every vector phase is a whole-array
+device computation and every polynomial transform is O(n log n):
+
+  reference (scalar host loops)                 this prover (device arrays)
+  ─────────────────────────────                 ───────────────────────────
+  O(n^2) Lagrange trace interp (trace.rs:28-56) INTT on the trace domain
+  Horner eval at 32n points  (fibonacci.rs:124) zero-pad + coset FFT (= LDE)
+  per-point constraint loop  (fibonacci.rs:133) rolled eval-vector arithmetic
+  pointwise Fermat inverses  (fibonacci.rs:147) closed-form Z_H tile + batch pow
+  per-layer x inversions     (fri.rs:42)        inverse power table, squared
+  per-leaf SHA-256           (merkle.rs:30)     batched leaf/level hashing
+
+The Fiat-Shamir transcript (host) is byte-identical to the reference's; the
+device only feeds it Merkle roots and OOD scalars at phase boundaries.
+
+Zero-knowledge: T_hat = T + Z_H * R with MASK_DEGREE random blinding
+coefficients (fibonacci.rs:110-121) and fresh 16-byte salts per committed
+leaf (fibonacci.rs:327-353). Randomness comes from an injectable seed
+(reproducible tests — unlike the reference's thread_rng) with OS entropy by
+default.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .air import Air, FibonacciAir
+from .config import DEFAULT_CONFIG, StarkConfig
+from .domain import Domain
+from .field import babybear as bb
+from .field.babybear import P, MONT_R
+from .merkle import MerkleTree, build_salted_tree, build_unsalted_tree
+from .ops.fri import fri_fold
+from .ops.ntt import np_powers
+from .poly import evaluate as poly_eval
+from .proof import MerkleOpening, QueryProof, StarkProof
+from .trace import ExecutionTrace
+from .transcript import Transcript, derive_z
+
+
+class StarkProver:
+    def __init__(
+        self,
+        trace: ExecutionTrace,
+        air: Air | None = None,
+        config: StarkConfig = DEFAULT_CONFIG,
+        seed: int | None = None,
+    ):
+        self.trace = trace
+        self.air = air or FibonacciAir()
+        self.config = config
+        # Injectable randomness (cf. survey of thread_rng at fibonacci.rs:117).
+        self.rng = np.random.default_rng(seed)
+
+    # ── helpers ────────────────────────────────────────────────────────────
+
+    def _masked_trace_coeffs(self, t_coeffs: jnp.ndarray, n: int) -> jnp.ndarray:
+        """T_hat = T + Z_H * R with Z_H = x^n - 1 on the standard trace
+        domain, so (Z_H R)[i] = R[i-n] - R[i]: a pure shift-and-subtract in
+        coefficient space — no polynomial multiply needed
+        (reference does schoolbook multiply, fibonacci.rs:121)."""
+        m = self.config.mask_degree
+        L = n + m
+        r = self.rng.integers(0, P, m, dtype=np.uint64).astype(np.uint32)
+        r_dev = jnp.asarray(r)
+        t_pad = jnp.pad(t_coeffs, (0, L - n))
+        r_low = jnp.pad(r_dev, (0, L - m))          # R[i] for i < m
+        r_shift = jnp.pad(r_dev, (n, L - m - n))    # R[i-n] for i >= n
+        return bb.add(t_pad, bb.sub(r_shift, r_low))
+
+    def _salts(self, n: int) -> np.ndarray:
+        return self.rng.integers(0, 256, (n, 16), dtype=np.uint8)
+
+    def _zh_inv_tile_mont(self, n: int, N: int, shifted: Domain) -> jnp.ndarray:
+        """1 / Z_H(x_i) over the shifted LDE domain, in Montgomery form.
+
+        Z_H(x_i) = shift^n * omega_N^{n i} - 1 is periodic with period
+        blowup = N/n, so only `blowup` inverses are computed (host, exact)
+        and tiled — versus the reference's per-point Fermat pow
+        (fibonacci.rs:147-149).
+        """
+        B = N // n
+        h_n = pow(shifted.shift, n, P)
+        om_n = pow(shifted.omega, n, P)
+        vals = np_powers(om_n, B) * np.uint64(h_n) % np.uint64(P)
+        vals = (vals + np.uint64(P - 1)) % np.uint64(P)  # - 1
+        inv = np.array([pow(int(v), P - 2, P) for v in vals], np.uint64)
+        inv_mont = inv * np.uint64(MONT_R) % np.uint64(P)
+        return jnp.asarray(np.tile(inv_mont, n).astype(np.uint32))
+
+    # ── main entry point ───────────────────────────────────────────────────
+
+    def generate_proof(self) -> StarkProof:
+        cfg = self.config
+        n = self.trace.num_rows
+        N = n * cfg.blowup
+        domain = Domain.new(n)
+        shifted = Domain.new(N).get_coset(cfg.coset_shift)
+        g = domain.group_gen()
+
+        # ── 1. trace polynomial + ZK mask (fibonacci.rs:110-121) ──────────
+        t_coeffs = self.trace.interpolate_column(domain, 0)
+        that = self._masked_trace_coeffs(t_coeffs, n)
+
+        # ── commit trace on the shifted LDE domain (fibonacci.rs:124-130) ─
+        trace_lde = shifted.fft(that)
+        trace_salts = self._salts(N)
+        trace_tree = build_salted_tree(trace_lde, trace_salts)
+        trace_root = trace_tree.root()
+
+        # ── 2. constraint & quotient (fibonacci.rs:132-154) ───────────────
+        B = cfg.blowup
+        x = shifted.elements()
+        t_rolls = [jnp.roll(trace_lde, -k * B) for k in range(self.air.num_shifts)]
+        c_evals = self.air.constraint_lde(t_rolls, x, g, n)
+        q_evals = bb.mont_mul(c_evals, self._zh_inv_tile_mont(n, N, shifted))
+        q_coeffs = shifted.ifft(q_evals)
+        quot_salts = self._salts(N)
+        quotient_tree = build_salted_tree(q_evals, quot_salts)
+        quotient_root = quotient_tree.root()
+
+        # ── 3. Fiat-Shamir: derive OOD point z (fibonacci.rs:156-161) ─────
+        transcript = Transcript()
+        transcript.absorb_commitment(trace_root)
+        transcript.absorb_commitment(quotient_root)
+        z = derive_z(transcript, N, cfg.coset_shift)
+
+        # ── 4. OOD evaluations (fibonacci.rs:163-183) ─────────────────────
+        t_z = int(poly_eval(that, z))
+        t_gz = int(poly_eval(that, g * z % P))
+        t_ggz = int(poly_eval(that, g * g % P * z % P))
+        q_z = int(poly_eval(q_coeffs, z))
+
+        # Sanity: the constraint relation holds at z (the prover-side check
+        # that fails loudly on an invalid trace, fibonacci.rs:169-177).
+        c_z = self.air.constraint_at([t_z, t_gz, t_ggz], z, g, n)
+        z_z = domain.eval_vanishing(z)
+        if c_z != q_z * z_z % P:
+            raise ValueError("Constraint check at z failed — invalid trace")
+
+        for v in (t_z, t_gz, t_ggz, q_z):
+            transcript.absorb_field(v)
+
+        # ── 5. DEEP polynomial (fibonacci.rs:185-198) ─────────────────────
+        # All four quotients share the denominator (x - z); sum numerators
+        # then one batched inversion pass.
+        num = bb.sub(q_evals, jnp.uint32(q_z))
+        num = bb.add(num, bb.sub(t_rolls[2], jnp.uint32(t_ggz)))
+        num = bb.add(num, bb.sub(t_rolls[1], jnp.uint32(t_gz)))
+        num = bb.add(num, bb.sub(t_rolls[0], jnp.uint32(t_z)))
+        d_evals = bb.mul(num, bb.inv(bb.sub(x, jnp.uint32(z))))
+
+        # ── 6. FRI folding with Merkle commits (fibonacci.rs:200-247) ─────
+        final_size = cfg.final_layer_size(n)
+        fri_layers = [d_evals]
+        fri_trees: list[MerkleTree] = []
+        fri_salts: list[np.ndarray | None] = []
+        fri_commitments: list[bytes] = []
+
+        salts0 = self._salts(N)
+        tree0 = build_salted_tree(d_evals, salts0)
+        root0 = tree0.root()
+        transcript.absorb_commitment(root0)
+        fri_commitments.append(root0)
+        fri_trees.append(tree0)
+        fri_salts.append(salts0)
+
+        # inverse x-coordinates (Montgomery form): x_i^-1 = h^-1 * omega^-i,
+        # squared between layers — no Fermat inversions in the fold loop.
+        h_inv = pow(cfg.coset_shift, P - 2, P)
+        om_inv = pow(shifted.omega, P - 2, P)
+        xs_inv_np = np_powers(om_inv, N) * np.uint64(h_inv) % np.uint64(P)
+        xs_inv = jnp.asarray(
+            (xs_inv_np * np.uint64(MONT_R) % np.uint64(P)).astype(np.uint32)
+        )
+
+        current = d_evals
+        while current.shape[0] > final_size:
+            beta = transcript.squeeze_challenge()
+            half = current.shape[0] // 2
+            current = fri_fold(current, xs_inv[:half], beta)
+            # square the x-coordinates for the next domain (inverse table
+            # squares identically; mont_mul of mont forms stays mont)
+            xs_inv = bb.mont_mul(xs_inv[:half], xs_inv[:half])
+
+            fri_layers.append(current)
+            if current.shape[0] == final_size:
+                tree = build_unsalted_tree(current)
+                salts = None
+            else:
+                salts = self._salts(current.shape[0])
+                tree = build_salted_tree(current, salts)
+            root = tree.root()
+            transcript.absorb_commitment(root)
+            fri_commitments.append(root)
+            fri_trees.append(tree)
+            fri_salts.append(salts)
+
+        fri_final_layer = [int(v) for v in np.asarray(current, np.uint64)]
+
+        # ── 7. query phase (fibonacci.rs:249-295) ─────────────────────────
+        half0 = N // 2
+        query_indices = transcript.squeeze_indices(cfg.num_queries, half0)
+
+        # host copies for opening values
+        trace_np = np.asarray(trace_lde, np.uint64)
+        q_np = np.asarray(q_evals, np.uint64)
+        layers_np = [np.asarray(l, np.uint64) for l in fri_layers]
+
+        def open_salted(tree, values, salts, idx):
+            return MerkleOpening(
+                idx, int(values[idx]), tree.get_proof(idx), bytes(salts[idx])
+            )
+
+        query_proofs = []
+        for qi in query_indices:
+            idx_g = (qi + B) % N
+            idx_gg = (qi + 2 * B) % N
+            qp = QueryProof(
+                index=qi,
+                deep_opening=open_salted(fri_trees[0], layers_np[0], fri_salts[0], qi),
+                deep_opening_pair=open_salted(
+                    fri_trees[0], layers_np[0], fri_salts[0], qi + half0
+                ),
+                trace_opening=open_salted(trace_tree, trace_np, trace_salts, qi),
+                trace_opening_g=open_salted(trace_tree, trace_np, trace_salts, idx_g),
+                trace_opening_gg=open_salted(trace_tree, trace_np, trace_salts, idx_gg),
+                quotient_opening=open_salted(quotient_tree, q_np, quot_salts, qi),
+                fri_openings=[],
+            )
+            idx = qi
+            for layer_idx in range(1, len(fri_layers) - 1):
+                half = len(layers_np[layer_idx]) // 2
+                idx = idx % half
+                op = open_salted(
+                    fri_trees[layer_idx], layers_np[layer_idx],
+                    fri_salts[layer_idx], idx,
+                )
+                op_pair = open_salted(
+                    fri_trees[layer_idx], layers_np[layer_idx],
+                    fri_salts[layer_idx], idx + half,
+                )
+                qp.fri_openings.append((op, op_pair))
+            query_proofs.append(qp)
+
+        return StarkProof(
+            trace_len=n,
+            lde_size=N,
+            trace_commitment=trace_root,
+            quotient_commitment=quotient_root,
+            t_z=t_z,
+            t_gz=t_gz,
+            t_ggz=t_ggz,
+            q_z=q_z,
+            fri_commitments=fri_commitments,
+            fri_final_layer=fri_final_layer,
+            query_proofs=query_proofs,
+        )
