@@ -1,0 +1,112 @@
+"""Benchmark: NTT butterfly throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Headline metric (BASELINE.md): butterflies/sec/chip for a 2^24-point BabyBear
+NTT — the kernel the reference accelerates with CUDA (cuda/ntt_kernel.cu).
+The reference publishes no numbers, so `vs_baseline` reports the speedup over
+this framework's own CPU execution of the identical computation (the
+reference's CPU-vs-accelerator comparison, src/ntt.rs:264-287, in spirit).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+LOG_N = 24
+CPU_LOG_N = 20  # CPU comparison size (same op, smaller for time), scaled
+
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
+def _bench_backend(device, log_n: int, iters: int) -> float:
+    """Seconds per NTT of size 2^log_n on `device` (steady state).
+
+    Uses distinct inputs per iteration and pulls a slice of every output back
+    to the host, so asynchronous dispatch cannot under-report (each NTT's
+    completion is observed, not just enqueued).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from toyni_tpu.field.babybear import P, get_root_of_unity
+    from toyni_tpu.ops import ntt as ntt_ops
+
+    n = 1 << log_n
+    omega = get_root_of_unity(log_n)
+    rng = np.random.default_rng(0)
+    xs = [
+        jax.device_put(
+            jnp.asarray(rng.integers(0, P, n, dtype=np.uint64).astype(np.uint32)),
+            device,
+        )
+        for _ in range(iters)
+    ]
+    tw = tuple(
+        jax.device_put(jnp.asarray(t), device)
+        for t in ntt_ops._twiddle_tables(n, omega)
+    )
+    fn = jax.jit(ntt_ops.ntt_stages)
+    # warm-up (compile + one full execution observed on host)
+    np.asarray(fn(xs[0], tw)[:8])
+    t0 = time.perf_counter()
+    outs = [fn(x, tw) for x in xs]
+    for o in outs:
+        o.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    # outside the timer: observe a value from each output so a backend that
+    # under-reports readiness still can't skip the work
+    sink = 0
+    for o in outs:
+        sink ^= int(np.asarray(o[:8])[0])
+    assert sink >= 0
+    return dt
+
+
+def main() -> None:
+    _enable_compile_cache()
+    import jax
+
+    tpu = [d for d in jax.devices() if d.platform == "tpu"]
+    cpu = jax.local_devices(backend="cpu")
+
+    # TPU measurement (fall back to default device if no TPU visible)
+    dev = tpu[0] if tpu else jax.devices()[0]
+    sec = _bench_backend(dev, LOG_N, iters=10)
+    n = 1 << LOG_N
+    butterflies = n // 2 * LOG_N
+    tpu_rate = butterflies / sec
+
+    # CPU comparison at a feasible size; butterflies/sec is size-normalized
+    cpu_sec = _bench_backend(cpu[0], CPU_LOG_N, iters=3)
+    cpu_n = 1 << CPU_LOG_N
+    cpu_rate = (cpu_n // 2 * CPU_LOG_N) / cpu_sec
+
+    print(
+        json.dumps(
+            {
+                "metric": "ntt_butterflies_per_sec_2e24",
+                "value": round(tpu_rate),
+                "unit": "butterflies/s/chip",
+                "vs_baseline": round(tpu_rate / cpu_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

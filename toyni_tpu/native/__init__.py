@@ -1,0 +1,134 @@
+"""Native host runtime: C++ CPU NTT oracle + SHA-256/Merkle, loaded via
+ctypes. Builds on first import with g++ and degrades gracefully to the pure
+Python/NumPy paths when no toolchain is available — the counterpart of the
+reference's nvcc-probe-and-degrade build (reference: build.rs:28-37)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "toyni_host.cpp")
+_SO = os.path.join(_DIR, "libtoyni_host.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception as e:  # toolchain missing / compile error: degrade
+        print(f"toyni_tpu.native: build skipped ({e})", file=sys.stderr)
+        return False
+
+
+def load():
+    """Load (building if needed) the native library, or None."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    lib = ctypes.CDLL(_SO)
+    u64 = ctypes.c_uint64
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.bb_ntt.argtypes = [u64p, u64, u64]
+    lib.bb_intt.argtypes = [u64p, u64, u64]
+    lib.bb_pow.argtypes = [u64, u64]
+    lib.bb_pow.restype = u64
+    lib.sha256_batch.argtypes = [u8p, u64, u64, u8p]
+    lib.merkle_leaf_hashes.argtypes = [u8p, u64, u64, u8p]
+    lib.merkle_build_levels.argtypes = [u8p, u64, u8p]
+    lib.merkle_verify.argtypes = [u8p, u64, u8p, u8p, u64, u8p]
+    lib.merkle_verify.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _u64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def ntt(values: np.ndarray, omega: int) -> np.ndarray:
+    """Native CPU NTT (in the semantics of the reference src/ntt.rs:24-53)."""
+    lib = load()
+    v = np.ascontiguousarray(values, np.uint64) % np.uint64(2013265921)
+    lib.bb_ntt(_u64p(v), len(v), omega)
+    return v
+
+
+def intt(values: np.ndarray, omega: int) -> np.ndarray:
+    lib = load()
+    v = np.ascontiguousarray(values, np.uint64) % np.uint64(2013265921)
+    lib.bb_intt(_u64p(v), len(v), omega)
+    return v
+
+
+def sha256_batch(msgs: np.ndarray) -> np.ndarray:
+    """(count, msg_len) u8 -> (count, 32) u8 digests."""
+    lib = load()
+    m = np.ascontiguousarray(msgs, np.uint8)
+    out = np.empty((m.shape[0], 32), np.uint8)
+    lib.sha256_batch(_u8p(m), m.shape[1], m.shape[0], _u8p(out))
+    return out
+
+
+def merkle_leaf_hashes(leaves: np.ndarray) -> np.ndarray:
+    """(count, leaf_len) u8 preimages -> (count, 32) tagged leaf digests."""
+    lib = load()
+    m = np.ascontiguousarray(leaves, np.uint8)
+    out = np.empty((m.shape[0], 32), np.uint8)
+    lib.merkle_leaf_hashes(_u8p(m), m.shape[1], m.shape[0], _u8p(out))
+    return out
+
+
+def merkle_build_levels(leaf_digests: np.ndarray) -> list:
+    """(count, 32) u8 leaf digests -> list of upper levels (each (k, 32))."""
+    lib = load()
+    d = np.ascontiguousarray(leaf_digests, np.uint8)
+    count = d.shape[0]
+    sizes = []
+    n = count
+    while n > 1:
+        n = (n + 1) // 2
+        sizes.append(n)
+    total = sum(sizes)
+    buf = np.empty((total, 32), np.uint8)
+    lib.merkle_build_levels(_u8p(d), count, _u8p(buf))
+    levels, off = [], 0
+    for s in sizes:
+        levels.append(buf[off : off + s].copy())
+        off += s
+    return levels
+
+
+def merkle_verify(leaf: bytes, path: list, positions: list, root: bytes) -> bool:
+    lib = load()
+    lf = np.frombuffer(leaf, np.uint8)
+    pa = np.frombuffer(b"".join(path), np.uint8) if path else np.empty(0, np.uint8)
+    po = np.array([1 if p else 0 for p in positions], np.uint8)
+    rt = np.frombuffer(root, np.uint8)
+    return bool(
+        lib.merkle_verify(_u8p(lf), len(leaf), _u8p(pa), _u8p(po), len(positions), _u8p(rt))
+    )

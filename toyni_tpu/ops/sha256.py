@@ -53,22 +53,39 @@ def _rotr(x, n: int):
 
 
 def compress(state, block):
-    """One SHA-256 compression. state: (..., 8) u32; block: (..., 16) u32."""
-    w = [block[..., t] for t in range(16)]
-    for t in range(16, 64):
-        s0 = _rotr(w[t - 15], 7) ^ _rotr(w[t - 15], 18) ^ (w[t - 15] >> 3)
-        s1 = _rotr(w[t - 2], 17) ^ _rotr(w[t - 2], 19) ^ (w[t - 2] >> 10)
-        w.append(w[t - 16] + s0 + w[t - 7] + s1)
+    """One SHA-256 compression. state: (..., 8) u32; block: (..., 16) u32.
 
+    The 64 rounds run in a `lax.fori_loop` with the message schedule kept as
+    a rolling 16-word window stacked on a leading axis (static indices only):
+    at round t the window holds w[t..t+15], so w[t] = win[0] and the next
+    schedule word w[t+16] = sig1(win[14]) + win[9] + sig0(win[1]) + win[0].
+    This keeps the compiled program ~64x smaller than a fully unrolled
+    compression while every lane stays a vectorized VPU op.
+    """
+    import jax
+
+    k_tab = jnp.asarray(_K)
+    win0 = jnp.moveaxis(block, -1, 0)  # (16, ...)
     a, b, c, d, e, f, g, h = (state[..., i] for i in range(8))
-    for t in range(64):
+
+    def body(t, carry):
+        a, b, c, d, e, f, g, h, win = carry
+        w_t = win[0]
         S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
-        t1 = h + S1 + ch + jnp.uint32(int(_K[t])) + w[t]
+        t1 = h + S1 + ch + k_tab[t] + w_t
         S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
         maj = (a & b) ^ (a & c) ^ (b & c)
         t2 = S0 + maj
-        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
+        s0 = _rotr(win[1], 7) ^ _rotr(win[1], 18) ^ (win[1] >> 3)
+        s1 = _rotr(win[14], 17) ^ _rotr(win[14], 19) ^ (win[14] >> 10)
+        new_w = win[0] + s0 + win[9] + s1
+        win = jnp.concatenate([win[1:], new_w[None]], axis=0)
+        return (t1 + t2, a, b, c, d + t1, e, f, g, win)
+
+    a, b, c, d, e, f, g, h, _ = jax.lax.fori_loop(
+        0, 64, body, (a, b, c, d, e, f, g, h, win0)
+    )
     out = jnp.stack([a, b, c, d, e, f, g, h], axis=-1)
     return state + out
 

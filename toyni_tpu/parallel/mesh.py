@@ -1,0 +1,71 @@
+"""Device-mesh helpers.
+
+The reference has no distributed story at all (its only parallel hardware
+path is one CUDA device; survey of deps: rand + sha2 only). This framework
+scales over a 1-D `jax.sharding.Mesh` of TPU chips: the length-N
+codeword is the "sequence" being sharded, collectives ride ICI.
+
+Layout conventions used throughout `parallel/`:
+
+* **block layout**: global vector v (N,) sharded contiguously — device d owns
+  v[d*N/D : (d+1)*N/D]. Natural for coefficient vectors entering the NTT.
+* **cyclic layout**: device d owns v[i] with i ≡ d (mod D), represented as a
+  global (D, N/D) array (row d = device d's subsequence, local index j ↔
+  global i = j*D + d) sharded on axis 0. This is the layout the distributed
+  NTT *outputs*, and it is closed under every FRI fold (pairs (i, i+half)
+  share i mod D whenever D | half) and under trace rolls by the blowup
+  (D | blowup) — so the entire constraint/quotient/DEEP/FRI pipeline runs
+  with **zero communication** between the NTT and the Merkle commits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+AXIS = "shards"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            # fall back to the (virtual) CPU backend for mesh emulation —
+            # the testing analog of real multi-chip hardware
+            devices = jax.local_devices(backend="cpu")
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices}-device mesh but only "
+                f"{len(devices)} devices exist"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def block_spec() -> PartitionSpec:
+    """(N,) vector, contiguous blocks."""
+    return PartitionSpec(AXIS)
+
+
+def cyclic_spec() -> PartitionSpec:
+    """(D, N/D) cyclic representation, row-sharded."""
+    return PartitionSpec(AXIS, None)
+
+
+def replicated_spec() -> PartitionSpec:
+    return PartitionSpec()
+
+
+def to_cyclic_np(v: np.ndarray, D: int) -> np.ndarray:
+    """Host reshape of a global (N, ...) array into (D, N/D, ...) cyclic form:
+    out[d, j] = v[j*D + d]."""
+    n = v.shape[0]
+    return np.ascontiguousarray(v.reshape(n // D, D, *v.shape[1:]).swapaxes(0, 1))
+
+
+def from_cyclic_np(c: np.ndarray) -> np.ndarray:
+    """Inverse of `to_cyclic_np`: (D, N/D, ...) -> (N, ...)."""
+    D, m = c.shape[0], c.shape[1]
+    return np.ascontiguousarray(c.swapaxes(0, 1)).reshape(D * m, *c.shape[2:])
