@@ -36,9 +36,13 @@ def _enable_compile_cache():
 def _bench_backend(device, log_n: int, iters: int) -> float:
     """Seconds per NTT of size 2^log_n on `device` (steady state).
 
-    Uses distinct inputs per iteration and pulls a slice of every output back
-    to the host, so asynchronous dispatch cannot under-report (each NTT's
-    completion is observed, not just enqueued).
+    Methodology: a *chained* sequence y = NTT(y) — each dispatch consumes the
+    previous output, so the device must execute every transform sequentially
+    and per-dispatch tunnel latency is amortized across the chain — followed
+    by a host read of the final output (outside the enqueue loop, inside the
+    timer), which forces completion of the whole chain before the clock
+    stops. Single-shot block_until_ready timing over this deployment's remote
+    device tunnel measures ~25 ms of round-trip latency, not device time.
     """
     import jax
     import jax.numpy as jnp
@@ -49,31 +53,20 @@ def _bench_backend(device, log_n: int, iters: int) -> float:
     n = 1 << log_n
     omega = get_root_of_unity(log_n)
     rng = np.random.default_rng(0)
-    xs = [
-        jax.device_put(
-            jnp.asarray(rng.integers(0, P, n, dtype=np.uint64).astype(np.uint32)),
-            device,
-        )
-        for _ in range(iters)
-    ]
-    tw = tuple(
-        jax.device_put(jnp.asarray(t), device)
-        for t in ntt_ops._twiddle_tables(n, omega)
+    x0 = jax.device_put(
+        jnp.asarray(rng.integers(0, P, n, dtype=np.uint64).astype(np.uint32)),
+        device,
     )
-    fn = jax.jit(ntt_ops.ntt_stages)
+    fn = jax.jit(lambda v: ntt_ops.ntt(v, omega))
     # warm-up (compile + one full execution observed on host)
-    np.asarray(fn(xs[0], tw)[:8])
+    np.asarray(fn(x0)[:8])
     t0 = time.perf_counter()
-    outs = [fn(x, tw) for x in xs]
-    for o in outs:
-        o.block_until_ready()
+    y = x0
+    for _ in range(iters):
+        y = fn(y)
+    sink = int(np.asarray(y[:8])[0])  # completion of the full chain
     dt = (time.perf_counter() - t0) / iters
-    # outside the timer: observe a value from each output so a backend that
-    # under-reports readiness still can't skip the work
-    sink = 0
-    for o in outs:
-        sink ^= int(np.asarray(o[:8])[0])
-    assert sink >= 0
+    assert 0 <= sink < 2013265921
     return dt
 
 
@@ -86,7 +79,7 @@ def main() -> None:
 
     # TPU measurement (fall back to default device if no TPU visible)
     dev = tpu[0] if tpu else jax.devices()[0]
-    sec = _bench_backend(dev, LOG_N, iters=10)
+    sec = _bench_backend(dev, LOG_N, iters=40)
     n = 1 << LOG_N
     butterflies = n // 2 * LOG_N
     tpu_rate = butterflies / sec

@@ -1,0 +1,113 @@
+"""Tests for API-parity components not exercised by the bundled pipeline
+(the reference's ◇ components): Ext FRI fold, synthetic division, CLI,
+profiling."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from toyni_tpu.field.babybear import P, get_root_of_unity, MONT_R
+from toyni_tpu.field import ext as extf
+from toyni_tpu.domain import Domain
+from toyni_tpu.ops import fri as fri_ops
+from toyni_tpu.ops.ntt import np_powers
+from toyni_tpu import poly
+
+RNG = np.random.default_rng(0xE17)
+
+
+def test_fri_fold_ext_device_matches_host():
+    n = 32
+    d = Domain.new(n)
+    evals = RNG.integers(0, P, (n, 4), dtype=np.uint64)
+    beta = tuple(int(v) for v in RNG.integers(0, P, 4, dtype=np.uint64))
+    xs = [int(v) for v in d.elements_np()]
+
+    expect = fri_ops.h_fri_fold_ext(
+        [tuple(int(c) for c in row) for row in evals], xs, beta
+    )
+
+    om_inv = pow(d.omega, P - 2, P)
+    xs_inv = np_powers(om_inv, n // 2) * np.uint64(MONT_R) % np.uint64(P)
+    got = fri_ops.fri_fold_ext(
+        jnp.asarray(evals.astype(np.uint32)),
+        jnp.asarray(xs_inv.astype(np.uint32)),
+        np.array(beta, np.uint32),
+    )
+    got = [tuple(int(c) for c in row) for row in np.asarray(got, np.uint64)]
+    assert got == expect
+
+
+def test_fri_fold_ext_consistency():
+    # algebraic fold property in the extension field: folding evals of
+    # f(x) = e(x^2) + x*o(x^2) gives evals of e(y) + beta*o(y)
+    n = 16
+    d = Domain.new(n)
+    coeffs = RNG.integers(0, P, (6, 4), dtype=np.uint64)
+    padded = np.zeros((n, 4), np.uint64)
+    padded[:6] = coeffs
+    evals = np.asarray(d.fft_ext(jnp.asarray(padded.astype(np.uint32))), np.uint64)
+    beta = tuple(int(v) for v in RNG.integers(0, P, 4, dtype=np.uint64))
+    xs = [int(v) for v in d.elements_np()]
+    folded = fri_ops.h_fri_fold_ext(
+        [tuple(int(c) for c in row) for row in evals], xs, beta
+    )
+    e = [tuple(int(c) for c in coeffs[i]) for i in range(0, 6, 2)]
+    o = [tuple(int(c) for c in coeffs[i]) for i in range(1, 6, 2)]
+    expect_coeffs = [extf.h_add(ec, extf.h_mul(beta, oc)) for ec, oc in zip(e, o)]
+    d2 = Domain.new(n // 2)
+    for i, y in enumerate(d2.elements_np()):
+        acc = extf.H_ZERO
+        for c in reversed(expect_coeffs):
+            acc = extf.h_add(extf.h_mul_base(acc, int(y)), c)
+        assert folded[i] == acc, f"i={i}"
+
+
+def test_divide_by_linear():
+    coeffs = [int(v) for v in RNG.integers(0, P, 9, dtype=np.uint64)]
+    z = 987654
+    q, r = poly.h_divide_by_linear(coeffs, z)
+    assert r == poly.h_evaluate(coeffs, z)
+    # q*(x-z) + r == P
+    recon = poly.h_add(poly.h_multiply(q, [(P - z) % P, 1]), [r])
+    expect = coeffs[:]
+    while expect and expect[-1] == 0:
+        expect.pop()
+    assert recon == expect
+
+
+def test_divide_by_linear_exact_root():
+    # dividing by a known root leaves zero remainder
+    q0 = [3, 1]  # x + 3
+    factor = [(P - 5) % P, 1]  # x - 5
+    prod = poly.h_multiply(q0, factor)
+    q, r = poly.h_divide_by_linear(prod, 5)
+    assert r == 0
+    assert q == q0
+
+
+def test_cli_prove_verify_roundtrip(tmp_path):
+    from toyni_tpu.__main__ import main
+
+    out = str(tmp_path / "p.bin")
+    assert main(["prove", "--rows", "64", "--seed", "3", "--out", out]) == 0
+    assert main(["verify", "--in", out]) == 0
+    # tamper the file -> verify fails (nonzero exit or parse error)
+    blob = bytearray(open(out, "rb").read())
+    blob[100] ^= 1
+    open(out, "wb").write(bytes(blob))
+    try:
+        rc = main(["verify", "--in", out])
+    except Exception:
+        rc = 1
+    assert rc == 1
+
+
+def test_profiling_report():
+    from toyni_tpu import profiling
+
+    profiling.report(reset=True)
+    with profiling.phase("unit_test_phase"):
+        pass
+    rep = profiling.report()
+    assert rep["unit_test_phase"]["calls"] == 1
+    assert "unit_test_phase" in profiling.format_report(reset=True)

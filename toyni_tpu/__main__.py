@@ -1,0 +1,122 @@
+"""Command-line interface: `python -m toyni_tpu <command>`.
+
+The reference has no CLI (its "application" is the test suite); a production
+framework needs one. Commands:
+
+  prove   --rows N [--out proof.bin] [--seed S] [--profile]
+          prove a Fibonacci trace of N rows, write the serialized proof
+  verify  --in proof.bin
+          verify a serialized proof (host verifier)
+  bench   run the benchmark (same as bench.py)
+  info    print protocol + device configuration
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _fib_column(n: int):
+    from toyni_tpu.field.babybear import P
+
+    out, a, b = [], 1, 1
+    for _ in range(n):
+        out.append(a % P)
+        a, b = b, (a + b) % (1 << 64)
+    return out
+
+
+def cmd_prove(args) -> int:
+    from toyni_tpu import profiling, proof as proof_mod
+    from toyni_tpu.prover import StarkProver
+    from toyni_tpu.trace import ExecutionTrace
+
+    t = ExecutionTrace()
+    t.insert_column(_fib_column(args.rows))
+    t0 = time.perf_counter()
+    proof = StarkProver(t, seed=args.seed).generate_proof()
+    dt = time.perf_counter() - t0
+    blob = proof_mod.serialize(proof)
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"proved {args.rows} rows in {dt:.2f}s -> {args.out} ({len(blob)} bytes)")
+    if args.profile:
+        print(profiling.format_report())
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from toyni_tpu import proof as proof_mod
+    from toyni_tpu.verifier import StarkVerifier
+
+    with open(getattr(args, "in"), "rb") as f:
+        proof = proof_mod.deserialize(f.read())
+    t0 = time.perf_counter()
+    ok = StarkVerifier().verify(proof)
+    print(f"verify: {'ACCEPT' if ok else 'REJECT'} ({time.perf_counter()-t0:.3f}s)")
+    return 0 if ok else 1
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from toyni_tpu.config import DEFAULT_CONFIG
+    from toyni_tpu import native
+
+    cfg = DEFAULT_CONFIG
+    print(
+        json.dumps(
+            {
+                "protocol": {
+                    "num_queries": cfg.num_queries,
+                    "blowup": cfg.blowup,
+                    "coset_shift": cfg.coset_shift,
+                    "mask_degree": cfg.mask_degree,
+                    "soundness_bits": 3 * cfg.num_queries,
+                },
+                "devices": [str(d) for d in jax.devices()],
+                "native_runtime": native.available(),
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="toyni_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("prove", help="prove a Fibonacci trace")
+    pp.add_argument("--rows", type=int, default=64)
+    pp.add_argument("--out", default="proof.bin")
+    pp.add_argument("--seed", type=int, default=None)
+    pp.add_argument("--profile", action="store_true")
+    pp.set_defaults(fn=cmd_prove)
+
+    pv = sub.add_parser("verify", help="verify a serialized proof")
+    pv.add_argument("--in", dest="in", default="proof.bin")
+    pv.set_defaults(fn=cmd_verify)
+
+    pb = sub.add_parser("bench", help="run the benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    pi = sub.add_parser("info", help="print configuration")
+    pi.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -102,6 +102,74 @@ def build_unsalted_tree(values: jnp.ndarray) -> MerkleTree:
     return MerkleTree(build_levels(digests))
 
 
+class DeviceTree:
+    """A Merkle tree whose levels stay on device; only roots and opened
+    paths ever cross to the host (the reference keeps whole trees in host
+    memory, src/merkle.rs:10-13 — here a query opening is a handful of
+    device gathers instead of a full-tree transfer)."""
+
+    def __init__(self, levels: list):
+        self.levels = levels  # device (n_i, 8) uint32 arrays
+        self._root = None
+
+    @property
+    def num_leaves(self) -> int:
+        return self.levels[0].shape[0]
+
+    def root(self) -> bytes:
+        if self._root is None:
+            self._root = sha.digest_bytes(np.asarray(self.levels[-1][0], np.uint32))
+        return self._root
+
+
+def build_salted_device_tree(values: jnp.ndarray, salts) -> DeviceTree:
+    digests = sha.hash_salted_leaves(values, jnp.asarray(salts))
+    return DeviceTree(_device_levels(digests))
+
+
+def build_unsalted_device_tree(values: jnp.ndarray) -> DeviceTree:
+    digests = sha.hash_unsalted_leaves(values)
+    return DeviceTree(_device_levels(digests))
+
+
+def _device_levels(leaf_digests: jnp.ndarray) -> list:
+    levels = [leaf_digests]
+    cur = leaf_digests
+    while cur.shape[0] > 1:
+        if cur.shape[0] % 2 == 1:
+            cur = jnp.concatenate([cur, cur[-1:]], axis=0)
+        cur = sha.hash_nodes(cur[0::2], cur[1::2])
+        levels.append(cur)
+    return levels
+
+
+def extract_paths(levels: list, indices: jnp.ndarray) -> jnp.ndarray:
+    """Device gather of sibling paths for power-of-two trees.
+
+    indices: (Q,) int32. Returns (Q, depth, 8) uint32 sibling digests,
+    bottom-up (position flags are recomputed on host from the indices)."""
+    idx = jnp.asarray(indices, jnp.int32)
+    out = []
+    for level in levels[:-1]:
+        out.append(jnp.take(level, idx ^ 1, axis=0))
+        idx = idx >> 1
+    return jnp.stack(out, axis=1)
+
+
+def openings_from_paths(indices, paths_np, depth: int) -> list:
+    """Host assembly: (Q, depth, 8) path words -> list[MerkleProof]."""
+    proofs = []
+    for qi, path in zip(indices, paths_np):
+        p, pos = [], []
+        idx = qi
+        for l in range(depth):
+            p.append(sha.digest_bytes(path[l]))
+            pos.append(idx % 2 == 1)
+            idx //= 2
+        proofs.append(MerkleProof(p, pos))
+    return proofs
+
+
 # ── host-side verification (the verifier's oracle path) ─────────────────────
 
 def hash_leaf_bytes(data: bytes) -> bytes:

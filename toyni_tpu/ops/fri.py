@@ -40,6 +40,43 @@ def fri_fold(evals: jnp.ndarray, xs_inv: jnp.ndarray, beta: int) -> jnp.ndarray:
     return bb.add(avg, odd)
 
 
+def fri_fold_ext(evals: jnp.ndarray, xs_inv: jnp.ndarray, beta) -> jnp.ndarray:
+    """Extension-field FRI fold (reference: src/math/fri.rs:7-25).
+
+    evals: (n, 4) Ext codeword; xs_inv: (n/2,) base-field x^{-1} in Montgomery
+    form; beta: Ext element as a (4,) uint32 array (or 4-tuple of host ints).
+    The evaluation points stay base-field — squaring base points stays base —
+    so only the codeword and beta are Ext.
+    """
+    from ..field import ext as extf
+
+    beta = jnp.asarray(beta, jnp.uint32)
+    half = evals.shape[0] // 2
+    a = evals[:half]
+    b = evals[half:]
+    avg = bb.mont_mul(bb.add(a, b), jnp.uint32(_HALF_INV_MONT))
+    diff = bb.mont_mul(bb.sub(a, b), jnp.uint32(_HALF_INV_MONT))
+    odd = extf.mul(diff, jnp.broadcast_to(beta, diff.shape))
+    odd = bb.mont_mul(odd, xs_inv[:, None])
+    return bb.add(avg, odd)
+
+
+def h_fri_fold_ext(evals, xs, beta):
+    """Host oracle for the Ext fold; evals/beta are 4-tuples of ints."""
+    from ..field import ext as extf
+
+    half = len(evals) // 2
+    out = []
+    for i in range(half):
+        a, b = evals[i], evals[i + half]
+        x_inv = pow(xs[i], P - 2, P)
+        avg = extf.h_mul_base(extf.h_add(a, b), HALF_INV)
+        diff = extf.h_mul_base(extf.h_sub(a, b), HALF_INV)
+        folded = extf.h_add(avg, extf.h_mul_base(extf.h_mul(diff, beta), x_inv))
+        out.append(folded)
+    return out
+
+
 def h_fri_fold(evals, xs, beta):
     """Host scalar-int oracle of the reference fold (src/math/fri.rs:27-48);
     evals/xs are Python-int lists."""

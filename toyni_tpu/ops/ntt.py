@@ -99,9 +99,75 @@ def ntt_stages(values: jnp.ndarray, twiddles: tuple) -> jnp.ndarray:
     return v
 
 
+# ── TPU-efficient layout: transform along axis 0 with wide lanes ─────────────
+#
+# The flat last-axis butterfly above produces trailing dims of size `half`,
+# which is < 128 for the first 7 stages — each (8,128) VPU tile then carries
+# almost no useful lanes. The fix: keep a WIDE second axis as pure batch and
+# butterfly along axis 0, so every stage is full-width elementwise work; large
+# 1-D transforms are decomposed four-step into two such batched passes.
+
+def ntt_axis0(x2d: jnp.ndarray, twiddles: tuple) -> jnp.ndarray:
+    """Batched NTT along axis 0 of a (n1, B) array (B = lanes, ideally >=128)."""
+    n1 = x2d.shape[0]
+    log_n = n1.bit_length() - 1
+    assert len(twiddles) == log_n
+    v = jnp.take(x2d, jnp.asarray(_bitrev(n1)), axis=0)
+    B = x2d.shape[1]
+    for s in range(1, log_n + 1):
+        length = 1 << s
+        half = length >> 1
+        v = v.reshape(n1 // length, 2, half, B)
+        u = v[:, 0]
+        t = bb.mont_mul(v[:, 1], twiddles[s - 1][None, :, None])
+        v = jnp.stack([bb.add(u, t), bb.sub(u, t)], axis=1)
+    return v.reshape(n1, B)
+
+
+@functools.lru_cache(maxsize=32)
+def _four_step_tables(n: int, omega: int):
+    """(n1, n2, col twiddle tuple, row twiddle tuple, W matrix) for the
+    single-device four-step decomposition x[j1*n2+j2] -> X[k2*n1+k1]."""
+    log_n = n.bit_length() - 1
+    log_n1 = (log_n + 1) // 2
+    n1 = 1 << log_n1
+    n2 = n // n1
+    col = _twiddle_tables(n1, pow(omega, n2, P))
+    row = _twiddle_tables(n2, pow(omega, n1, P))
+    # W[k1, j2] = omega^(k1*j2), Montgomery form; built with the binary
+    # method applied row-wise (log n2 full-matrix exact u64 passes)
+    r1 = np_powers(omega, n1)  # omega^k1
+    idx = np.arange(n2, dtype=np.uint64)
+    W = np.ones((n1, n2), np.uint64)
+    sq = r1.copy()
+    for b in range(max(1, (n2 - 1).bit_length())):
+        bit = (idx >> np.uint64(b)) & np.uint64(1)
+        W = np.where(bit[None, :] == 1, W * sq[:, None] % np.uint64(P), W)
+        sq = sq * sq % np.uint64(P)
+    W = (W * np.uint64(MONT_R) % np.uint64(P)).astype(np.uint32)
+    return n1, n2, col, row, W
+
+
+# flat transforms below this size (or batched inputs) skip the four-step
+_FOUR_STEP_MIN = 1 << 12
+
+
 def ntt(values: jnp.ndarray, omega: int) -> jnp.ndarray:
-    """Forward NTT: out[k] = sum_j values[j] * omega^(jk)  (src/ntt.rs:24-53)."""
+    """Forward NTT: out[k] = sum_j values[j] * omega^(jk)  (src/ntt.rs:24-53).
+
+    Large 1-D inputs take the four-step path (two wide batched passes + one
+    transpose); small or batched inputs use the flat per-stage kernel.
+    """
     n = values.shape[-1]
+    if values.ndim == 1 and n >= _FOUR_STEP_MIN:
+        n1, n2, col, row, W = _four_step_tables(n, omega)
+        colt = tuple(jnp.asarray(t) for t in col)
+        rowt = tuple(jnp.asarray(t) for t in row)
+        x2d = values.reshape(n1, n2)
+        a = ntt_axis0(x2d, colt)              # column DFTs, n2-wide lanes
+        a = bb.mont_mul(a, jnp.asarray(W))    # twiddle correction
+        c = ntt_axis0(a.T, rowt)              # row DFTs, n1-wide lanes
+        return c.reshape(n)
     tw = tuple(jnp.asarray(t) for t in _twiddle_tables(n, omega))
     return ntt_stages(values, tw)
 

@@ -60,6 +60,30 @@ def h_add(a, b):
     return out
 
 
+def h_divide_by_linear(coeffs, z: int):
+    """Synthetic division by (x - z): returns (quotient_coeffs, remainder),
+    with remainder == P(z).
+
+    Note: the reference's version (src/math/polynomial.rs:70-86) has a bug —
+    its loop breaks on the first iteration (`if i == 0 { ... break }`), so it
+    always returns (0, 0); the function is unused by the reference pipeline.
+    This is the correct implementation of the documented intent, validated by
+    q*(x-z) + r == P in tests.
+    """
+    cs = [int(v) for v in coeffs]
+    if not cs:
+        return [], 0
+    q = [0] * (len(cs) - 1)
+    acc = 0
+    for i, c in enumerate(reversed(cs)):
+        if i == len(cs) - 1:
+            rem = (c + z * acc) % P
+            return q, rem
+        acc = (c + z * acc) % P
+        q[len(q) - 1 - i] = acc
+    return q, 0
+
+
 def h_divide(dividend, divisor):
     """Long division returning (quotient, remainder)
     (src/math/polynomial.rs:34-68)."""

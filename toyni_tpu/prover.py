@@ -33,13 +33,20 @@ from .config import DEFAULT_CONFIG, StarkConfig
 from .domain import Domain
 from .field import babybear as bb
 from .field.babybear import P, MONT_R
-from .merkle import MerkleTree, build_salted_tree, build_unsalted_tree
+from .merkle import (
+    DeviceTree,
+    build_salted_device_tree,
+    build_unsalted_device_tree,
+    extract_paths,
+    openings_from_paths,
+)
 from .ops.fri import fri_fold
 from .ops.ntt import np_powers
 from .poly import evaluate as poly_eval
 from .proof import MerkleOpening, QueryProof, StarkProof
 from .trace import ExecutionTrace
 from .transcript import Transcript, derive_z
+from . import profiling
 
 
 class StarkProver:
@@ -103,25 +110,28 @@ class StarkProver:
         g = domain.group_gen()
 
         # ── 1. trace polynomial + ZK mask (fibonacci.rs:110-121) ──────────
-        t_coeffs = self.trace.interpolate_column(domain, 0)
-        that = self._masked_trace_coeffs(t_coeffs, n)
+        with profiling.phase("interpolate+mask"):
+            t_coeffs = self.trace.interpolate_column(domain, 0)
+            that = self._masked_trace_coeffs(t_coeffs, n)
 
         # ── commit trace on the shifted LDE domain (fibonacci.rs:124-130) ─
-        trace_lde = shifted.fft(that)
-        trace_salts = self._salts(N)
-        trace_tree = build_salted_tree(trace_lde, trace_salts)
-        trace_root = trace_tree.root()
+        with profiling.phase("trace_lde+commit"):
+            trace_lde = shifted.fft(that)
+            trace_salts = self._salts(N)
+            trace_tree = build_salted_device_tree(trace_lde, trace_salts)
+            trace_root = trace_tree.root()
 
         # ── 2. constraint & quotient (fibonacci.rs:132-154) ───────────────
-        B = cfg.blowup
-        x = shifted.elements()
-        t_rolls = [jnp.roll(trace_lde, -k * B) for k in range(self.air.num_shifts)]
-        c_evals = self.air.constraint_lde(t_rolls, x, g, n)
-        q_evals = bb.mont_mul(c_evals, self._zh_inv_tile_mont(n, N, shifted))
-        q_coeffs = shifted.ifft(q_evals)
-        quot_salts = self._salts(N)
-        quotient_tree = build_salted_tree(q_evals, quot_salts)
-        quotient_root = quotient_tree.root()
+        with profiling.phase("constraint+quotient+commit"):
+            B = cfg.blowup
+            x = shifted.elements()
+            t_rolls = [jnp.roll(trace_lde, -k * B) for k in range(self.air.num_shifts)]
+            c_evals = self.air.constraint_lde(t_rolls, x, g, n)
+            q_evals = bb.mont_mul(c_evals, self._zh_inv_tile_mont(n, N, shifted))
+            q_coeffs = shifted.ifft(q_evals)
+            quot_salts = self._salts(N)
+            quotient_tree = build_salted_device_tree(q_evals, quot_salts)
+            quotient_root = quotient_tree.root()
 
         # ── 3. Fiat-Shamir: derive OOD point z (fibonacci.rs:156-161) ─────
         transcript = Transcript()
@@ -130,10 +140,11 @@ class StarkProver:
         z = derive_z(transcript, N, cfg.coset_shift)
 
         # ── 4. OOD evaluations (fibonacci.rs:163-183) ─────────────────────
-        t_z = int(poly_eval(that, z))
-        t_gz = int(poly_eval(that, g * z % P))
-        t_ggz = int(poly_eval(that, g * g % P * z % P))
-        q_z = int(poly_eval(q_coeffs, z))
+        with profiling.phase("ood_evals"):
+            t_z = int(poly_eval(that, z))
+            t_gz = int(poly_eval(that, g * z % P))
+            t_ggz = int(poly_eval(that, g * g % P * z % P))
+            q_z = int(poly_eval(q_coeffs, z))
 
         # Sanity: the constraint relation holds at z (the prover-side check
         # that fails loudly on an invalid trace, fibonacci.rs:169-177).
@@ -148,21 +159,22 @@ class StarkProver:
         # ── 5. DEEP polynomial (fibonacci.rs:185-198) ─────────────────────
         # All four quotients share the denominator (x - z); sum numerators
         # then one batched inversion pass.
-        num = bb.sub(q_evals, jnp.uint32(q_z))
-        num = bb.add(num, bb.sub(t_rolls[2], jnp.uint32(t_ggz)))
-        num = bb.add(num, bb.sub(t_rolls[1], jnp.uint32(t_gz)))
-        num = bb.add(num, bb.sub(t_rolls[0], jnp.uint32(t_z)))
-        d_evals = bb.mul(num, bb.inv(bb.sub(x, jnp.uint32(z))))
+        with profiling.phase("deep"):
+            num = bb.sub(q_evals, jnp.uint32(q_z))
+            num = bb.add(num, bb.sub(t_rolls[2], jnp.uint32(t_ggz)))
+            num = bb.add(num, bb.sub(t_rolls[1], jnp.uint32(t_gz)))
+            num = bb.add(num, bb.sub(t_rolls[0], jnp.uint32(t_z)))
+            d_evals = bb.mul(num, bb.inv(bb.sub(x, jnp.uint32(z))))
 
         # ── 6. FRI folding with Merkle commits (fibonacci.rs:200-247) ─────
         final_size = cfg.final_layer_size(n)
         fri_layers = [d_evals]
-        fri_trees: list[MerkleTree] = []
+        fri_trees: list[DeviceTree] = []
         fri_salts: list[np.ndarray | None] = []
         fri_commitments: list[bytes] = []
 
         salts0 = self._salts(N)
-        tree0 = build_salted_tree(d_evals, salts0)
+        tree0 = build_salted_device_tree(d_evals, salts0)
         root0 = tree0.root()
         transcript.absorb_commitment(root0)
         fri_commitments.append(root0)
@@ -181,6 +193,8 @@ class StarkProver:
         current = d_evals
         while current.shape[0] > final_size:
             beta = transcript.squeeze_challenge()
+            profiling_phase = profiling.phase(f"fri_fold_{current.shape[0]}")
+            profiling_phase.__enter__()
             half = current.shape[0] // 2
             current = fri_fold(current, xs_inv[:half], beta)
             # square the x-coordinates for the next domain (inverse table
@@ -189,63 +203,90 @@ class StarkProver:
 
             fri_layers.append(current)
             if current.shape[0] == final_size:
-                tree = build_unsalted_tree(current)
+                tree = build_unsalted_device_tree(current)
                 salts = None
             else:
                 salts = self._salts(current.shape[0])
-                tree = build_salted_tree(current, salts)
+                tree = build_salted_device_tree(current, salts)
             root = tree.root()
             transcript.absorb_commitment(root)
             fri_commitments.append(root)
             fri_trees.append(tree)
             fri_salts.append(salts)
+            profiling_phase.__exit__(None, None, None)
 
         fri_final_layer = [int(v) for v in np.asarray(current, np.uint64)]
 
         # ── 7. query phase (fibonacci.rs:249-295) ─────────────────────────
+        # All openings are device gathers: sibling paths and opened values
+        # come back in a handful of small transfers instead of full trees
+        # (the reference walks host-resident levels, src/merkle.rs:50-80).
         half0 = N // 2
         query_indices = transcript.squeeze_indices(cfg.num_queries, half0)
+        queries_timer = profiling.phase("queries")
+        queries_timer.__enter__()
 
-        # host copies for opening values
-        trace_np = np.asarray(trace_lde, np.uint64)
-        q_np = np.asarray(q_evals, np.uint64)
-        layers_np = [np.asarray(l, np.uint64) for l in fri_layers]
+        num_folds = len(fri_layers) - 1
 
-        def open_salted(tree, values, salts, idx):
+        # per-tree index lists (host int math, mirrors fibonacci.rs:255-294)
+        trace_idx = []
+        for qi in query_indices:
+            trace_idx += [qi, (qi + B) % N, (qi + 2 * B) % N]
+        quot_idx = list(query_indices)
+        deep_idx = []
+        for qi in query_indices:
+            deep_idx += [qi, qi + half0]
+        fri_idx = [[] for _ in range(1, num_folds)]
+        for qi in query_indices:
+            idx = qi
+            for li in range(1, num_folds):
+                half = fri_layers[li].shape[0] // 2
+                idx = idx % half
+                fri_idx[li - 1] += [idx, idx + half]
+
+        def gather(tree, values, indices):
+            iarr = jnp.asarray(np.array(indices, np.int32))
+            vals = np.asarray(jnp.take(values, iarr), np.uint64)
+            paths = np.asarray(extract_paths(tree.levels, iarr), np.uint32)
+            proofs = openings_from_paths(indices, paths, len(tree.levels) - 1)
+            return vals, proofs
+
+        tr_vals, tr_proofs = gather(trace_tree, trace_lde, trace_idx)
+        q_vals, q_proofs = gather(quotient_tree, q_evals, quot_idx)
+        d_vals, d_proofs = gather(fri_trees[0], fri_layers[0], deep_idx)
+        fri_vals_proofs = [
+            gather(fri_trees[li], fri_layers[li], fri_idx[li - 1])
+            for li in range(1, num_folds)
+        ]
+
+        def mk_open(indices, vals, proofs, salts, k):
+            idx = indices[k]
             return MerkleOpening(
-                idx, int(values[idx]), tree.get_proof(idx), bytes(salts[idx])
+                idx, int(vals[k]), proofs[k],
+                bytes(salts[idx]) if salts is not None else b"",
             )
 
         query_proofs = []
-        for qi in query_indices:
-            idx_g = (qi + B) % N
-            idx_gg = (qi + 2 * B) % N
-            qp = QueryProof(
-                index=qi,
-                deep_opening=open_salted(fri_trees[0], layers_np[0], fri_salts[0], qi),
-                deep_opening_pair=open_salted(
-                    fri_trees[0], layers_np[0], fri_salts[0], qi + half0
-                ),
-                trace_opening=open_salted(trace_tree, trace_np, trace_salts, qi),
-                trace_opening_g=open_salted(trace_tree, trace_np, trace_salts, idx_g),
-                trace_opening_gg=open_salted(trace_tree, trace_np, trace_salts, idx_gg),
-                quotient_opening=open_salted(quotient_tree, q_np, quot_salts, qi),
-                fri_openings=[],
+        for q, qi in enumerate(query_indices):
+            fri_openings = []
+            for li in range(1, num_folds):
+                vals, proofs = fri_vals_proofs[li - 1]
+                op = mk_open(fri_idx[li - 1], vals, proofs, fri_salts[li], 2 * q)
+                op_pair = mk_open(fri_idx[li - 1], vals, proofs, fri_salts[li], 2 * q + 1)
+                fri_openings.append((op, op_pair))
+            query_proofs.append(
+                QueryProof(
+                    index=qi,
+                    deep_opening=mk_open(deep_idx, d_vals, d_proofs, fri_salts[0], 2 * q),
+                    deep_opening_pair=mk_open(deep_idx, d_vals, d_proofs, fri_salts[0], 2 * q + 1),
+                    trace_opening=mk_open(trace_idx, tr_vals, tr_proofs, trace_salts, 3 * q),
+                    trace_opening_g=mk_open(trace_idx, tr_vals, tr_proofs, trace_salts, 3 * q + 1),
+                    trace_opening_gg=mk_open(trace_idx, tr_vals, tr_proofs, trace_salts, 3 * q + 2),
+                    quotient_opening=mk_open(quot_idx, q_vals, q_proofs, quot_salts, q),
+                    fri_openings=fri_openings,
+                )
             )
-            idx = qi
-            for layer_idx in range(1, len(fri_layers) - 1):
-                half = len(layers_np[layer_idx]) // 2
-                idx = idx % half
-                op = open_salted(
-                    fri_trees[layer_idx], layers_np[layer_idx],
-                    fri_salts[layer_idx], idx,
-                )
-                op_pair = open_salted(
-                    fri_trees[layer_idx], layers_np[layer_idx],
-                    fri_salts[layer_idx], idx + half,
-                )
-                qp.fri_openings.append((op, op_pair))
-            query_proofs.append(qp)
+        queries_timer.__exit__(None, None, None)
 
         return StarkProof(
             trace_len=n,
