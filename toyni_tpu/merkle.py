@@ -106,28 +106,51 @@ class DeviceTree:
     """A Merkle tree whose levels stay on device; only roots and opened
     paths ever cross to the host (the reference keeps whole trees in host
     memory, src/merkle.rs:10-13 — here a query opening is a handful of
-    device gathers instead of a full-tree transfer)."""
+    device gathers instead of a full-tree transfer).
 
-    def __init__(self, levels: list):
-        self.levels = levels  # device (n_i, 8) uint32 arrays
+    Two storage layouts: row-major levels of shape (n_i, 8) (jnp hashing
+    path) or planar levels of shape (8, n_i) (Pallas kernel path)."""
+
+    def __init__(self, levels: list, planar: bool = False):
+        self.levels = levels
+        self.planar = planar
         self._root = None
 
     @property
     def num_leaves(self) -> int:
-        return self.levels[0].shape[0]
+        return self.levels[0].shape[1 if self.planar else 0]
 
     def root(self) -> bytes:
         if self._root is None:
-            self._root = sha.digest_bytes(np.asarray(self.levels[-1][0], np.uint32))
+            top = self.levels[-1][:, 0] if self.planar else self.levels[-1][0]
+            self._root = sha.digest_bytes(np.asarray(top, np.uint32))
         return self._root
 
 
+def _use_pallas(values) -> bool:
+    try:
+        return next(iter(values.devices())).platform == "tpu"
+    except Exception:
+        return False
+
+
 def build_salted_device_tree(values: jnp.ndarray, salts) -> DeviceTree:
+    if _use_pallas(values) and values.shape[0] & (values.shape[0] - 1) == 0:
+        from .ops import sha256_pallas as shp
+
+        sw = shp.salts_to_words(np.asarray(salts, np.uint8))
+        digests = shp.hash_salted_leaves_planar(values, jnp.asarray(sw))
+        return DeviceTree(_device_levels_planar(digests), planar=True)
     digests = sha.hash_salted_leaves(values, jnp.asarray(salts))
     return DeviceTree(_device_levels(digests))
 
 
 def build_unsalted_device_tree(values: jnp.ndarray) -> DeviceTree:
+    if _use_pallas(values) and values.shape[0] & (values.shape[0] - 1) == 0:
+        from .ops import sha256_pallas as shp
+
+        digests = shp.hash_unsalted_leaves_planar(values)
+        return DeviceTree(_device_levels_planar(digests), planar=True)
     digests = sha.hash_unsalted_leaves(values)
     return DeviceTree(_device_levels(digests))
 
@@ -143,7 +166,19 @@ def _device_levels(leaf_digests: jnp.ndarray) -> list:
     return levels
 
 
-def extract_paths(levels: list, indices: jnp.ndarray) -> jnp.ndarray:
+def _device_levels_planar(leaf_digests: jnp.ndarray) -> list:
+    """Planar (8, n) levels via the Pallas node kernel (power-of-two only)."""
+    from .ops import sha256_pallas as shp
+
+    levels = [leaf_digests]
+    cur = leaf_digests
+    while cur.shape[1] > 1:
+        cur = shp.hash_nodes_planar(cur[:, 0::2], cur[:, 1::2])
+        levels.append(cur)
+    return levels
+
+
+def extract_paths(levels: list, indices: jnp.ndarray, planar: bool = False) -> jnp.ndarray:
     """Device gather of sibling paths for power-of-two trees.
 
     indices: (Q,) int32. Returns (Q, depth, 8) uint32 sibling digests,
@@ -151,7 +186,10 @@ def extract_paths(levels: list, indices: jnp.ndarray) -> jnp.ndarray:
     idx = jnp.asarray(indices, jnp.int32)
     out = []
     for level in levels[:-1]:
-        out.append(jnp.take(level, idx ^ 1, axis=0))
+        if planar:
+            out.append(jnp.take(level, idx ^ 1, axis=1).T)
+        else:
+            out.append(jnp.take(level, idx ^ 1, axis=0))
         idx = idx >> 1
     return jnp.stack(out, axis=1)
 

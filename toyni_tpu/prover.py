@@ -247,7 +247,9 @@ class StarkProver:
         def gather(tree, values, indices):
             iarr = jnp.asarray(np.array(indices, np.int32))
             vals = np.asarray(jnp.take(values, iarr), np.uint64)
-            paths = np.asarray(extract_paths(tree.levels, iarr), np.uint32)
+            paths = np.asarray(
+                extract_paths(tree.levels, iarr, planar=tree.planar), np.uint32
+            )
             proofs = openings_from_paths(indices, paths, len(tree.levels) - 1)
             return vals, proofs
 
