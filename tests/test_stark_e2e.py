@@ -15,12 +15,13 @@ from toyni_tpu import proof as proof_mod
 
 
 def fibonacci_list(n):
-    """u64-wrapping Fibonacci then mod p — matches the reference's trace
-    construction (fibonacci.rs:444-455 with BabyBear::new)."""
+    """Fibonacci in F_p. (The reference builds the trace with u64-wrapping
+    adds, fibonacci.rs:444-455 — equivalent below ~94 rows, where u64 never
+    wraps; above that only the mod-p recurrence satisfies the AIR.)"""
     fibs, a, b = [], 1, 1
     for _ in range(n):
         fibs.append(a % P)
-        a, b = b, (a + b) % (1 << 64)
+        a, b = b, (a + b) % P
     return fibs
 
 

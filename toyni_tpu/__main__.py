@@ -20,12 +20,15 @@ import time
 
 
 def _fib_column(n: int):
+    # Fibonacci in the field: a u64-wrapping sequence (the reference's
+    # construction, valid only below ~94 rows where u64 never wraps) breaks
+    # the mod-p relation after the wrap; the AIR is defined over F_p.
     from toyni_tpu.field.babybear import P
 
     out, a, b = [], 1, 1
     for _ in range(n):
-        out.append(a % P)
-        a, b = b, (a + b) % (1 << 64)
+        out.append(a)
+        a, b = b, (a + b) % P
     return out
 
 

@@ -128,10 +128,54 @@ class DeviceTree:
 
 
 def _use_pallas(values) -> bool:
+    """Opt-in (TOYNI_PALLAS_SHA=1): on the current Mosaic toolchain the SHA
+    kernels measure ~12x slower than the XLA fori_loop path on v5e (~2 vs ~24
+    Mhash/s at 2^21 — the 64-round dependency chain does not pipeline the way
+    the same program does under XLA). Kernels are correct (hashlib-verified
+    on device); kept for the next tuning round."""
+    import os
+
+    if os.environ.get("TOYNI_PALLAS_SHA") != "1":
+        return False
     try:
         return next(iter(values.devices())).platform == "tpu"
     except Exception:
         return False
+
+
+_jit_salted = None
+_jit_unsalted = None
+
+
+def _leaf_fns():
+    global _jit_salted, _jit_unsalted
+    if _jit_salted is None:
+        import jax
+
+        _jit_salted = jax.jit(sha.hash_salted_leaves)
+        _jit_unsalted = jax.jit(sha.hash_unsalted_leaves)
+    return _jit_salted, _jit_unsalted
+
+
+def _hash_leaves_chunked(values: jnp.ndarray, salts) -> jnp.ndarray:
+    """Salted (salts given) or unsalted leaf digests, chunk-dispatched."""
+    fns = _leaf_fns()
+    fn = (lambda v, s: fns[0](v, s)) if salts is not None else (lambda v, s: fns[1](v))
+    n = values.shape[0]
+    s_dev = jnp.asarray(salts) if salts is not None else None
+    if n >= _HASH_CHUNK:
+        outs = [
+            fn(values[i : i + _HASH_CHUNK],
+               s_dev[i : i + _HASH_CHUNK] if salts is not None else None)
+            for i in range(0, n, _HASH_CHUNK)
+        ]
+        return jnp.concatenate(outs, axis=0)
+    target = max(_MIN_SHAPE, 1 << (n - 1).bit_length()) if n > 1 else 1
+    if n < target:
+        v = jnp.pad(values, (0, target - n))
+        s = jnp.pad(s_dev, [(0, target - n), (0, 0)]) if salts is not None else None
+        return fn(v, s)[:n]
+    return fn(values, s_dev)
 
 
 def build_salted_device_tree(values: jnp.ndarray, salts) -> DeviceTree:
@@ -141,7 +185,7 @@ def build_salted_device_tree(values: jnp.ndarray, salts) -> DeviceTree:
         sw = shp.salts_to_words(np.asarray(salts, np.uint8))
         digests = shp.hash_salted_leaves_planar(values, jnp.asarray(sw))
         return DeviceTree(_device_levels_planar(digests), planar=True)
-    digests = sha.hash_salted_leaves(values, jnp.asarray(salts))
+    digests = _hash_leaves_chunked(values, salts)
     return DeviceTree(_device_levels(digests))
 
 
@@ -151,8 +195,43 @@ def build_unsalted_device_tree(values: jnp.ndarray) -> DeviceTree:
 
         digests = shp.hash_unsalted_leaves_planar(values)
         return DeviceTree(_device_levels_planar(digests), planar=True)
-    digests = sha.hash_unsalted_leaves(values)
+    digests = _hash_leaves_chunked(values, None)
     return DeviceTree(_device_levels(digests))
+
+
+# Chunked dispatch: every hash call runs at one of a handful of fixed shapes
+# (the chunk size, or a small power of two), so XLA compiles each program
+# once no matter how many tree sizes a proof touches — the shape-cache
+# discipline that replaces the reference's per-size CUDA context cache.
+_HASH_CHUNK = 1 << 17
+_MIN_SHAPE = 1 << 10
+
+_jit_nodes = None
+
+
+def _nodes_fn():
+    global _jit_nodes
+    if _jit_nodes is None:
+        import jax
+
+        _jit_nodes = jax.jit(sha.hash_nodes)
+    return _jit_nodes
+
+
+def _hash_nodes_chunked(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+    m = left.shape[0]
+    fn = _nodes_fn()
+    if m >= _HASH_CHUNK:
+        outs = [
+            fn(left[i : i + _HASH_CHUNK], right[i : i + _HASH_CHUNK])
+            for i in range(0, m, _HASH_CHUNK)
+        ]
+        return jnp.concatenate(outs, axis=0)
+    target = max(_MIN_SHAPE, 1 << (m - 1).bit_length())
+    if m < target:
+        pad = [(0, target - m), (0, 0)]
+        return fn(jnp.pad(left, pad), jnp.pad(right, pad))[:m]
+    return fn(left, right)
 
 
 def _device_levels(leaf_digests: jnp.ndarray) -> list:
@@ -161,7 +240,7 @@ def _device_levels(leaf_digests: jnp.ndarray) -> list:
     while cur.shape[0] > 1:
         if cur.shape[0] % 2 == 1:
             cur = jnp.concatenate([cur, cur[-1:]], axis=0)
-        cur = sha.hash_nodes(cur[0::2], cur[1::2])
+        cur = _hash_nodes_chunked(cur[0::2], cur[1::2])
         levels.append(cur)
     return levels
 

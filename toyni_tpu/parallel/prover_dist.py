@@ -247,7 +247,7 @@ def make_sharded_prove_step(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
         fib, a, b_ = [], 1, 1
         for _ in range(n):
             fib.append(a % P)
-            a, b_ = b_, (a + b_) % (1 << 64)
+            a, b_ = b_, (a + b_) % P
         u8 = lambda *s: rng.integers(0, 256, s, dtype=np.uint64).astype(np.uint8)
         return (
             jnp.asarray(np.array(fib, np.uint32)),

@@ -102,7 +102,7 @@ def make_commit_core(n: int, cfg: StarkConfig = DEFAULT_CONFIG):
         fib, a, b_ = [], 1, 1
         for _ in range(n):
             fib.append(a % P)
-            a, b_ = b_, (a + b_) % (1 << 64)
+            a, b_ = b_, (a + b_) % P
         trace_col = jnp.asarray(np.array(fib, np.uint32))
         r = jnp.asarray(rng.integers(0, P, m, dtype=np.uint64).astype(np.uint32))
         ts = jnp.asarray(rng.integers(0, 256, (N, 16), dtype=np.uint64).astype(np.uint8))
