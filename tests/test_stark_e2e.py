@@ -144,3 +144,12 @@ def test_proof_serialization_roundtrip(valid_proof):
     # serialization is canonical: tampered blob -> rejected or unequal
     assert back.t_z == valid_proof.t_z
     assert back.fri_commitments == valid_proof.fri_commitments
+
+
+def test_e2e_four_step_path():
+    """Trace 256 -> LDE 8192 crosses the four-step NTT threshold; the whole
+    protocol must still round-trip (and u64-wrap-free traces are valid at
+    any length)."""
+    p = StarkProver(make_trace(256), seed=11).generate_proof()
+    assert p.lde_size == 8192
+    assert StarkVerifier().verify(p)

@@ -180,3 +180,10 @@ def intt(values: jnp.ndarray, omega: int) -> jnp.ndarray:
     v = ntt(values, inv_omega)
     n_inv = pow(n, P - 2, P)
     return bb.mul_const(v, n_inv)
+
+
+def roots_of_unity_domain(n: int) -> jnp.ndarray:
+    """{omega^i : i < n} for the canonical size-n subgroup — API parity with
+    the reference helper (src/ntt.rs:69-81)."""
+    omega = bb.get_root_of_unity(n.bit_length() - 1)
+    return jnp.asarray(np_powers(omega, n).astype(np.uint32))
