@@ -179,3 +179,14 @@ def test_ext_host_inverse():
     for _ in range(20):
         a = tuple(int(x) for x in rand_arr(4))
         assert ext.h_mul(a, ext.h_inv(a)) == ext.H_ONE
+
+
+def test_powers_traced_matches_powers():
+    import jax
+
+    base = 440564289
+    got = bb.powers_traced(jnp.uint32(base), 300)
+    check(got, oracle.powers(base, 300))
+    # under jit with a traced base
+    f = jax.jit(lambda b: bb.powers_traced(b, 64, mont=False))
+    check(f(jnp.uint32(7)), oracle.powers(7, 64))

@@ -158,6 +158,21 @@ def inv(a):
     return pow_const(a, P - 2)
 
 
+def powers_traced(base, n: int, *, mont: bool = False):
+    """[base^0 .. base^(n-1)] for a *traced* u32 scalar base (jit-safe, unlike
+    `powers` whose base is a host int). log n vectorized Montgomery steps."""
+    nbits = max(1, (n - 1).bit_length())
+    idx = jnp.arange(n, dtype=_U32)
+    result = jnp.full((n,), MONT_R % P, _U32)  # 1 in Montgomery form
+    sq = to_mont(jnp.asarray(base, _U32))
+    for b in range(nbits):
+        bit = (idx >> _c(b)) & _c(1)
+        result = jnp.where(bit == 1, mont_mul(result, sq), result)
+        if b + 1 < nbits:
+            sq = mont_mul(sq, sq)
+    return result if mont else from_mont(result)
+
+
 def sum_mod(v, axis: int = -1):
     """Modular sum along an axis via log-depth pairwise folding (a plain
     jnp.sum would overflow uint32)."""

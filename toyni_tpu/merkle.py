@@ -16,6 +16,7 @@ H(salt_i(16B) || value_i(8B LE)); the final FRI layer commits unsalted
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from dataclasses import dataclass
 
@@ -143,39 +144,22 @@ def _use_pallas(values) -> bool:
         return False
 
 
-_jit_salted = None
-_jit_unsalted = None
+@functools.lru_cache(maxsize=64)
+def _tree_builder(n_leaves: int, salted: bool):
+    """One jitted program per (leaf count, salted): leaf hashing + every
+    level, a SINGLE device dispatch per tree build. Dispatch count is the
+    scarce resource on a remote-attached device (~25 ms per round trip on
+    this deployment's tunnel); compiles are amortized by the persistent
+    compilation cache."""
+    import jax
 
-
-def _leaf_fns():
-    global _jit_salted, _jit_unsalted
-    if _jit_salted is None:
-        import jax
-
-        _jit_salted = jax.jit(sha.hash_salted_leaves)
-        _jit_unsalted = jax.jit(sha.hash_unsalted_leaves)
-    return _jit_salted, _jit_unsalted
-
-
-def _hash_leaves_chunked(values: jnp.ndarray, salts) -> jnp.ndarray:
-    """Salted (salts given) or unsalted leaf digests, chunk-dispatched."""
-    fns = _leaf_fns()
-    fn = (lambda v, s: fns[0](v, s)) if salts is not None else (lambda v, s: fns[1](v))
-    n = values.shape[0]
-    s_dev = jnp.asarray(salts) if salts is not None else None
-    if n >= _HASH_CHUNK:
-        outs = [
-            fn(values[i : i + _HASH_CHUNK],
-               s_dev[i : i + _HASH_CHUNK] if salts is not None else None)
-            for i in range(0, n, _HASH_CHUNK)
-        ]
-        return jnp.concatenate(outs, axis=0)
-    target = max(_MIN_SHAPE, 1 << (n - 1).bit_length()) if n > 1 else 1
-    if n < target:
-        v = jnp.pad(values, (0, target - n))
-        s = jnp.pad(s_dev, [(0, target - n), (0, 0)]) if salts is not None else None
-        return fn(v, s)[:n]
-    return fn(values, s_dev)
+    if salted:
+        def f(values, salts_dev):
+            return _device_levels(sha.hash_salted_leaves(values, salts_dev))
+    else:
+        def f(values):
+            return _device_levels(sha.hash_unsalted_leaves(values))
+    return jax.jit(f)
 
 
 def build_salted_device_tree(values: jnp.ndarray, salts) -> DeviceTree:
@@ -185,8 +169,8 @@ def build_salted_device_tree(values: jnp.ndarray, salts) -> DeviceTree:
         sw = shp.salts_to_words(np.asarray(salts, np.uint8))
         digests = shp.hash_salted_leaves_planar(values, jnp.asarray(sw))
         return DeviceTree(_device_levels_planar(digests), planar=True)
-    digests = _hash_leaves_chunked(values, salts)
-    return DeviceTree(_device_levels(digests))
+    fn = _tree_builder(values.shape[0], True)
+    return DeviceTree(fn(values, jnp.asarray(salts)))
 
 
 def build_unsalted_device_tree(values: jnp.ndarray) -> DeviceTree:
@@ -195,43 +179,8 @@ def build_unsalted_device_tree(values: jnp.ndarray) -> DeviceTree:
 
         digests = shp.hash_unsalted_leaves_planar(values)
         return DeviceTree(_device_levels_planar(digests), planar=True)
-    digests = _hash_leaves_chunked(values, None)
-    return DeviceTree(_device_levels(digests))
-
-
-# Chunked dispatch: every hash call runs at one of a handful of fixed shapes
-# (the chunk size, or a small power of two), so XLA compiles each program
-# once no matter how many tree sizes a proof touches — the shape-cache
-# discipline that replaces the reference's per-size CUDA context cache.
-_HASH_CHUNK = 1 << 17
-_MIN_SHAPE = 1 << 10
-
-_jit_nodes = None
-
-
-def _nodes_fn():
-    global _jit_nodes
-    if _jit_nodes is None:
-        import jax
-
-        _jit_nodes = jax.jit(sha.hash_nodes)
-    return _jit_nodes
-
-
-def _hash_nodes_chunked(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
-    m = left.shape[0]
-    fn = _nodes_fn()
-    if m >= _HASH_CHUNK:
-        outs = [
-            fn(left[i : i + _HASH_CHUNK], right[i : i + _HASH_CHUNK])
-            for i in range(0, m, _HASH_CHUNK)
-        ]
-        return jnp.concatenate(outs, axis=0)
-    target = max(_MIN_SHAPE, 1 << (m - 1).bit_length())
-    if m < target:
-        pad = [(0, target - m), (0, 0)]
-        return fn(jnp.pad(left, pad), jnp.pad(right, pad))[:m]
-    return fn(left, right)
+    fn = _tree_builder(values.shape[0], False)
+    return DeviceTree(fn(values))
 
 
 def _device_levels(leaf_digests: jnp.ndarray) -> list:
@@ -240,7 +189,7 @@ def _device_levels(leaf_digests: jnp.ndarray) -> list:
     while cur.shape[0] > 1:
         if cur.shape[0] % 2 == 1:
             cur = jnp.concatenate([cur, cur[-1:]], axis=0)
-        cur = _hash_nodes_chunked(cur[0::2], cur[1::2])
+        cur = sha.hash_nodes(cur[0::2], cur[1::2])
         levels.append(cur)
     return levels
 

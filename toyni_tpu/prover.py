@@ -48,6 +48,53 @@ from .trace import ExecutionTrace
 from .transcript import Transcript, derive_z
 from . import profiling
 
+import functools
+import jax
+
+
+@functools.lru_cache(maxsize=8)
+def _phase_fns(n: int, N: int, L: int, num_shifts: int, blowup: int):
+    """Jitted device phases (one dispatch each) for trace length n.
+
+    On a remote-attached device every dispatch costs a ~25 ms round trip, so
+    OOD evaluation, the DEEP quotient, each FRI fold, and each query gather
+    are single fused programs; z and the OOD scalars enter as traced values.
+    """
+
+    def ood4(that, q_coeffs, z, gz, ggz):
+        def ev(coeffs, pt, ln):
+            return bb.sum_mod(bb.mont_mul(coeffs, bb.powers_traced(pt, ln, mont=True)))
+
+        return jnp.stack(
+            [ev(that, z, L), ev(that, gz, L), ev(that, ggz, L), ev(q_coeffs, z, N)]
+        )
+
+    def deep(trace_lde, q_evals, x, ood, z):
+        num = bb.sub(q_evals, ood[3])
+        num = bb.add(num, bb.sub(jnp.roll(trace_lde, -2 * blowup), ood[2]))
+        num = bb.add(num, bb.sub(jnp.roll(trace_lde, -blowup), ood[1]))
+        num = bb.add(num, bb.sub(trace_lde, ood[0]))
+        return bb.mul(num, bb.inv(bb.sub(x, z)))
+
+    def fold(current, xs_inv, beta):
+        from .pipeline import _fold_traced
+
+        half = current.shape[0] // 2
+        folded = _fold_traced(current, xs_inv[:half], beta)
+        return folded, bb.mont_mul(xs_inv[:half], xs_inv[:half])
+
+    def gather(levels, values, idx):
+        vals = jnp.take(values, idx)
+        paths = extract_paths(levels, idx)
+        return vals, paths
+
+    return dict(
+        ood=jax.jit(ood4),
+        deep=jax.jit(deep),
+        fold=jax.jit(fold),
+        gather=jax.jit(gather),
+    )
+
 
 class StarkProver:
     def __init__(
@@ -140,11 +187,14 @@ class StarkProver:
         z = derive_z(transcript, N, cfg.coset_shift)
 
         # ── 4. OOD evaluations (fibonacci.rs:163-183) ─────────────────────
+        fns = _phase_fns(n, N, n + cfg.mask_degree, self.air.num_shifts, cfg.blowup)
         with profiling.phase("ood_evals"):
-            t_z = int(poly_eval(that, z))
-            t_gz = int(poly_eval(that, g * z % P))
-            t_ggz = int(poly_eval(that, g * g % P * z % P))
-            q_z = int(poly_eval(q_coeffs, z))
+            ood_vec = fns["ood"](
+                that, q_coeffs,
+                jnp.uint32(z), jnp.uint32(g * z % P), jnp.uint32(g * g % P * z % P),
+            )
+            ood_np = np.asarray(ood_vec, np.uint64)
+            t_z, t_gz, t_ggz, q_z = (int(v) for v in ood_np)
 
         # Sanity: the constraint relation holds at z (the prover-side check
         # that fails loudly on an invalid trace, fibonacci.rs:169-177).
@@ -160,11 +210,7 @@ class StarkProver:
         # All four quotients share the denominator (x - z); sum numerators
         # then one batched inversion pass.
         with profiling.phase("deep"):
-            num = bb.sub(q_evals, jnp.uint32(q_z))
-            num = bb.add(num, bb.sub(t_rolls[2], jnp.uint32(t_ggz)))
-            num = bb.add(num, bb.sub(t_rolls[1], jnp.uint32(t_gz)))
-            num = bb.add(num, bb.sub(t_rolls[0], jnp.uint32(t_z)))
-            d_evals = bb.mul(num, bb.inv(bb.sub(x, jnp.uint32(z))))
+            d_evals = fns["deep"](trace_lde, q_evals, x, ood_vec, jnp.uint32(z))
 
         # ── 6. FRI folding with Merkle commits (fibonacci.rs:200-247) ─────
         final_size = cfg.final_layer_size(n)
@@ -195,11 +241,7 @@ class StarkProver:
             beta = transcript.squeeze_challenge()
             profiling_phase = profiling.phase(f"fri_fold_{current.shape[0]}")
             profiling_phase.__enter__()
-            half = current.shape[0] // 2
-            current = fri_fold(current, xs_inv[:half], beta)
-            # square the x-coordinates for the next domain (inverse table
-            # squares identically; mont_mul of mont forms stays mont)
-            xs_inv = bb.mont_mul(xs_inv[:half], xs_inv[:half])
+            current, xs_inv = fns["fold"](current, xs_inv, jnp.uint32(beta))
 
             fri_layers.append(current)
             if current.shape[0] == final_size:
@@ -246,10 +288,15 @@ class StarkProver:
 
         def gather(tree, values, indices):
             iarr = jnp.asarray(np.array(indices, np.int32))
-            vals = np.asarray(jnp.take(values, iarr), np.uint64)
-            paths = np.asarray(
-                extract_paths(tree.levels, iarr, planar=tree.planar), np.uint32
-            )
+            if tree.planar:
+                vals = np.asarray(jnp.take(values, iarr), np.uint64)
+                paths = np.asarray(
+                    extract_paths(tree.levels, iarr, planar=True), np.uint32
+                )
+            else:
+                v_dev, p_dev = fns["gather"](tuple(tree.levels), values, iarr)
+                vals = np.asarray(v_dev, np.uint64)
+                paths = np.asarray(p_dev, np.uint32)
             proofs = openings_from_paths(indices, paths, len(tree.levels) - 1)
             return vals, proofs
 
