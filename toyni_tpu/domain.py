@@ -26,12 +26,30 @@ _U32 = jnp.uint32
 
 
 @functools.lru_cache(maxsize=64)
-def _shift_tables(n: int, shift: int) -> tuple[np.ndarray, np.ndarray]:
-    """(shift^i, shift^-i) for i < n, Montgomery form, uint32."""
+def _shift_tables(n: int, shift: int):
+    """(shift^i, shift^-i) for i < n, Montgomery form, cached on DEVICE
+    (uploaded once per process)."""
+    import jax
+
     fwd = ntt_ops.np_powers(shift, n) * np.uint64(MONT_R) % np.uint64(P)
     inv_shift = pow(shift, P - 2, P)
     bwd = ntt_ops.np_powers(inv_shift, n) * np.uint64(MONT_R) % np.uint64(P)
-    return fwd.astype(np.uint32), bwd.astype(np.uint32)
+    with jax.ensure_compile_time_eval():
+        return (
+            jnp.asarray(fwd.astype(np.uint32)),
+            jnp.asarray(bwd.astype(np.uint32)),
+        )
+
+
+@functools.lru_cache(maxsize=64)
+def _elements_dev(size: int, omega: int, shift: int) -> jnp.ndarray:
+    import jax
+
+    pw = ntt_ops.np_powers(omega, size)
+    if shift != 1:
+        pw = pw * np.uint64(shift) % np.uint64(P)
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(pw.astype(np.uint32))
 
 
 @dataclass(frozen=True)
@@ -58,9 +76,9 @@ class Domain:
     # ── element enumeration ────────────────────────────────────────────────
 
     def elements(self) -> jnp.ndarray:
-        """{shift * omega^i} as a device uint32 array
+        """{shift * omega^i} as a device uint32 array, cached per domain
         (reference scalar loop: src/math/domain.rs:61-69)."""
-        return jnp.asarray(self.elements_np().astype(np.uint32))
+        return _elements_dev(self.size, self.omega, self.shift)
 
     def elements_np(self) -> np.ndarray:
         """Host uint64 copy of the domain elements (verifier / tests)."""
@@ -97,7 +115,7 @@ class Domain:
             c = jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, pad)])
         if self.shift != 1:
             fwd, _ = _shift_tables(n, self.shift)
-            c = bb.mont_mul(c, jnp.asarray(fwd))
+            c = bb.mont_mul(c, fwd)
         return ntt_ops.ntt(c, self.omega)
 
     def ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
@@ -107,7 +125,7 @@ class Domain:
         v = ntt_ops.intt(jnp.asarray(evals, _U32), self.omega)
         if self.shift != 1:
             _, bwd = _shift_tables(self.size, self.shift)
-            v = bb.mont_mul(v, jnp.asarray(bwd))
+            v = bb.mont_mul(v, bwd)
         return v
 
     # Extension-field transforms: the twiddles are base-field, so an Ext

@@ -57,13 +57,8 @@ def np_powers(base: int, n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def _twiddle_tables(n: int, omega: int) -> tuple:
-    """Per-stage twiddle vectors in Montgomery form, as numpy uint32.
-
-    Stage s (len = 2^s) uses [omega^(n/len * j) for j < len/2] — the same
-    packed-table layout as the CUDA kernel (cuda/ntt_kernel.cu:145-185), kept
-    per-stage so each stage's broadcast is shape-exact.
-    """
+def _twiddle_tables_np(n: int, omega: int) -> tuple:
+    """Host (numpy) twiddle construction; see `_twiddle_tables`."""
     tables = []
     log_n = n.bit_length() - 1
     for s in range(1, log_n + 1):
@@ -73,6 +68,20 @@ def _twiddle_tables(n: int, omega: int) -> tuple:
         tw = np_powers(w_len, half) * np.uint64(MONT_R) % np.uint64(P)
         tables.append(tw.astype(np.uint32))
     return tuple(tables)
+
+
+@functools.lru_cache(maxsize=64)
+def _twiddle_tables(n: int, omega: int) -> tuple:
+    """Per-stage twiddle vectors in Montgomery form, cached as DEVICE arrays
+    (uploaded once per process — repeating the host->device transfer per
+    transform costs seconds of tunnel time at 2^20+).
+
+    Stage s (len = 2^s) uses [omega^(n/len * j) for j < len/2] — the same
+    packed-table layout as the CUDA kernel (cuda/ntt_kernel.cu:145-185), kept
+    per-stage so each stage's broadcast is shape-exact.
+    """
+    with jax.ensure_compile_time_eval():
+        return tuple(jnp.asarray(t) for t in _twiddle_tables_np(n, omega))
 
 
 @functools.lru_cache(maxsize=64)
@@ -132,8 +141,8 @@ def _four_step_tables(n: int, omega: int):
     log_n1 = (log_n + 1) // 2
     n1 = 1 << log_n1
     n2 = n // n1
-    col = _twiddle_tables(n1, pow(omega, n2, P))
-    row = _twiddle_tables(n2, pow(omega, n1, P))
+    col = _twiddle_tables_np(n1, pow(omega, n2, P))
+    row = _twiddle_tables_np(n2, pow(omega, n1, P))
     # W[k1, j2] = omega^(k1*j2), Montgomery form; built with the binary
     # method applied row-wise (log n2 full-matrix exact u64 passes)
     r1 = np_powers(omega, n1)  # omega^k1
@@ -148,6 +157,20 @@ def _four_step_tables(n: int, omega: int):
     return n1, n2, col, row, W
 
 
+@functools.lru_cache(maxsize=32)
+def _four_step_tables_dev(n: int, omega: int):
+    """Device-resident copies of the four-step constants (uploaded once)."""
+    n1, n2, col, row, W = _four_step_tables(n, omega)
+    with jax.ensure_compile_time_eval():
+        return (
+            n1,
+            n2,
+            tuple(jnp.asarray(t) for t in col),
+            tuple(jnp.asarray(t) for t in row),
+            jnp.asarray(W),
+        )
+
+
 # flat transforms below this size (or batched inputs) skip the four-step
 _FOUR_STEP_MIN = 1 << 12
 
@@ -160,16 +183,13 @@ def ntt(values: jnp.ndarray, omega: int) -> jnp.ndarray:
     """
     n = values.shape[-1]
     if values.ndim == 1 and n >= _FOUR_STEP_MIN:
-        n1, n2, col, row, W = _four_step_tables(n, omega)
-        colt = tuple(jnp.asarray(t) for t in col)
-        rowt = tuple(jnp.asarray(t) for t in row)
+        n1, n2, colt, rowt, W = _four_step_tables_dev(n, omega)
         x2d = values.reshape(n1, n2)
         a = ntt_axis0(x2d, colt)              # column DFTs, n2-wide lanes
-        a = bb.mont_mul(a, jnp.asarray(W))    # twiddle correction
+        a = bb.mont_mul(a, W)                 # twiddle correction
         c = ntt_axis0(a.T, rowt)              # row DFTs, n1-wide lanes
         return c.reshape(n)
-    tw = tuple(jnp.asarray(t) for t in _twiddle_tables(n, omega))
-    return ntt_stages(values, tw)
+    return ntt_stages(values, _twiddle_tables(n, omega))
 
 
 def intt(values: jnp.ndarray, omega: int) -> jnp.ndarray:

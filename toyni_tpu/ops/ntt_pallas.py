@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..field import babybear as bb
 from ..field.babybear import P, MONT_R
-from .ntt import _bitrev, _twiddle_tables, np_powers
+from .ntt import _bitrev, _twiddle_tables_np, np_powers
 
 _U32 = jnp.uint32
 
@@ -37,7 +37,7 @@ def _stage_tables_padded(n1: int, omega: int) -> np.ndarray:
     Stage s has n1/len blocks x half lanes; entry [b*half + j] = w_s[j].
     """
     log_n = n1.bit_length() - 1
-    tabs = _twiddle_tables(n1, omega)
+    tabs = _twiddle_tables_np(n1, omega)
     out = np.empty((log_n, n1 // 2), np.uint32)
     for s in range(1, log_n + 1):
         half = 1 << (s - 1)

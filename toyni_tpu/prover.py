@@ -52,6 +52,31 @@ import functools
 import jax
 
 
+@functools.lru_cache(maxsize=16)
+def _zh_inv_tile_dev(n: int, N: int, shift: int, omega: int) -> jnp.ndarray:
+    """1 / Z_H over the shifted LDE domain, Montgomery form, device-cached."""
+    B = N // n
+    h_n = pow(shift, n, P)
+    om_n = pow(omega, n, P)
+    vals = np_powers(om_n, B) * np.uint64(h_n) % np.uint64(P)
+    vals = (vals + np.uint64(P - 1)) % np.uint64(P)
+    inv = np.array([pow(int(v), P - 2, P) for v in vals], np.uint64)
+    inv_mont = inv * np.uint64(MONT_R) % np.uint64(P)
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(np.tile(inv_mont, n).astype(np.uint32))
+
+
+@functools.lru_cache(maxsize=16)
+def _xs_inv0_dev(N: int, shift: int, omega: int) -> jnp.ndarray:
+    """x_i^-1 over the shifted LDE domain, Montgomery form, device-cached."""
+    h_inv = pow(shift, P - 2, P)
+    om_inv = pow(omega, P - 2, P)
+    t = np_powers(om_inv, N) * np.uint64(h_inv) % np.uint64(P)
+    t = t * np.uint64(MONT_R) % np.uint64(P)
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(t.astype(np.uint32))
+
+
 @functools.lru_cache(maxsize=8)
 def _phase_fns(n: int, N: int, L: int, num_shifts: int, blowup: int):
     """Jitted device phases (one dispatch each) for trace length n.
@@ -126,25 +151,13 @@ class StarkProver:
         r_shift = jnp.pad(r_dev, (n, L - m - n))    # R[i-n] for i >= n
         return bb.add(t_pad, bb.sub(r_shift, r_low))
 
-    def _salts(self, n: int) -> np.ndarray:
-        return self.rng.integers(0, 256, (n, 16), dtype=np.uint8)
-
-    def _zh_inv_tile_mont(self, n: int, N: int, shifted: Domain) -> jnp.ndarray:
-        """1 / Z_H(x_i) over the shifted LDE domain, in Montgomery form.
-
-        Z_H(x_i) = shift^n * omega_N^{n i} - 1 is periodic with period
-        blowup = N/n, so only `blowup` inverses are computed (host, exact)
-        and tiled — versus the reference's per-point Fermat pow
-        (fibonacci.rs:147-149).
-        """
-        B = N // n
-        h_n = pow(shifted.shift, n, P)
-        om_n = pow(shifted.omega, n, P)
-        vals = np_powers(om_n, B) * np.uint64(h_n) % np.uint64(P)
-        vals = (vals + np.uint64(P - 1)) % np.uint64(P)  # - 1
-        inv = np.array([pow(int(v), P - 2, P) for v in vals], np.uint64)
-        inv_mont = inv * np.uint64(MONT_R) % np.uint64(P)
-        return jnp.asarray(np.tile(inv_mont, n).astype(np.uint32))
+    def _salts(self, n: int) -> jnp.ndarray:
+        """Per-leaf 16-byte salts generated ON DEVICE (threefry) from the
+        injectable seed — transferring host salts costs ~16 B/leaf of tunnel
+        bandwidth per committed layer. Only the <=3*num_queries opened salts
+        ever come back to the host (gathered at query time)."""
+        key = jax.random.PRNGKey(int(self.rng.integers(0, 2**63)))
+        return jax.random.bits(key, (n, 16), dtype=jnp.uint8)
 
     # ── main entry point ───────────────────────────────────────────────────
 
@@ -174,7 +187,7 @@ class StarkProver:
             x = shifted.elements()
             t_rolls = [jnp.roll(trace_lde, -k * B) for k in range(self.air.num_shifts)]
             c_evals = self.air.constraint_lde(t_rolls, x, g, n)
-            q_evals = bb.mont_mul(c_evals, self._zh_inv_tile_mont(n, N, shifted))
+            q_evals = bb.mont_mul(c_evals, _zh_inv_tile_dev(n, N, cfg.coset_shift, shifted.omega))
             q_coeffs = shifted.ifft(q_evals)
             quot_salts = self._salts(N)
             quotient_tree = build_salted_device_tree(q_evals, quot_salts)
@@ -229,12 +242,7 @@ class StarkProver:
 
         # inverse x-coordinates (Montgomery form): x_i^-1 = h^-1 * omega^-i,
         # squared between layers — no Fermat inversions in the fold loop.
-        h_inv = pow(cfg.coset_shift, P - 2, P)
-        om_inv = pow(shifted.omega, P - 2, P)
-        xs_inv_np = np_powers(om_inv, N) * np.uint64(h_inv) % np.uint64(P)
-        xs_inv = jnp.asarray(
-            (xs_inv_np * np.uint64(MONT_R) % np.uint64(P)).astype(np.uint32)
-        )
+        xs_inv = _xs_inv0_dev(N, cfg.coset_shift, shifted.omega)
 
         current = d_evals
         while current.shape[0] > final_size:
@@ -286,7 +294,7 @@ class StarkProver:
                 idx = idx % half
                 fri_idx[li - 1] += [idx, idx + half]
 
-        def gather(tree, values, indices):
+        def gather(tree, values, indices, salts):
             iarr = jnp.asarray(np.array(indices, np.int32))
             if tree.planar:
                 vals = np.asarray(jnp.take(values, iarr), np.uint64)
@@ -298,40 +306,45 @@ class StarkProver:
                 vals = np.asarray(v_dev, np.uint64)
                 paths = np.asarray(p_dev, np.uint32)
             proofs = openings_from_paths(indices, paths, len(tree.levels) - 1)
-            return vals, proofs
+            # only the opened salts ever reach the host
+            s_np = (
+                np.asarray(jnp.take(salts, iarr, axis=0), np.uint8)
+                if salts is not None
+                else None
+            )
+            return vals, proofs, s_np
 
-        tr_vals, tr_proofs = gather(trace_tree, trace_lde, trace_idx)
-        q_vals, q_proofs = gather(quotient_tree, q_evals, quot_idx)
-        d_vals, d_proofs = gather(fri_trees[0], fri_layers[0], deep_idx)
+        tr_vals, tr_proofs, tr_salts = gather(trace_tree, trace_lde, trace_idx, trace_salts)
+        q_vals, q_proofs, q_salts = gather(quotient_tree, q_evals, quot_idx, quot_salts)
+        d_vals, d_proofs, d_salts = gather(fri_trees[0], fri_layers[0], deep_idx, fri_salts[0])
         fri_vals_proofs = [
-            gather(fri_trees[li], fri_layers[li], fri_idx[li - 1])
+            gather(fri_trees[li], fri_layers[li], fri_idx[li - 1], fri_salts[li])
             for li in range(1, num_folds)
         ]
 
-        def mk_open(indices, vals, proofs, salts, k):
-            idx = indices[k]
+        def mk_open(indices, vals, proofs, salts_np, k):
             return MerkleOpening(
-                idx, int(vals[k]), proofs[k],
-                bytes(salts[idx]) if salts is not None else b"",
+                indices[k], int(vals[k]), proofs[k],
+                bytes(salts_np[k]) if salts_np is not None else b"",
             )
 
         query_proofs = []
         for q, qi in enumerate(query_indices):
             fri_openings = []
             for li in range(1, num_folds):
-                vals, proofs = fri_vals_proofs[li - 1]
-                op = mk_open(fri_idx[li - 1], vals, proofs, fri_salts[li], 2 * q)
-                op_pair = mk_open(fri_idx[li - 1], vals, proofs, fri_salts[li], 2 * q + 1)
+                vals, proofs, g_salts = fri_vals_proofs[li - 1]
+                op = mk_open(fri_idx[li - 1], vals, proofs, g_salts, 2 * q)
+                op_pair = mk_open(fri_idx[li - 1], vals, proofs, g_salts, 2 * q + 1)
                 fri_openings.append((op, op_pair))
             query_proofs.append(
                 QueryProof(
                     index=qi,
-                    deep_opening=mk_open(deep_idx, d_vals, d_proofs, fri_salts[0], 2 * q),
-                    deep_opening_pair=mk_open(deep_idx, d_vals, d_proofs, fri_salts[0], 2 * q + 1),
-                    trace_opening=mk_open(trace_idx, tr_vals, tr_proofs, trace_salts, 3 * q),
-                    trace_opening_g=mk_open(trace_idx, tr_vals, tr_proofs, trace_salts, 3 * q + 1),
-                    trace_opening_gg=mk_open(trace_idx, tr_vals, tr_proofs, trace_salts, 3 * q + 2),
-                    quotient_opening=mk_open(quot_idx, q_vals, q_proofs, quot_salts, q),
+                    deep_opening=mk_open(deep_idx, d_vals, d_proofs, d_salts, 2 * q),
+                    deep_opening_pair=mk_open(deep_idx, d_vals, d_proofs, d_salts, 2 * q + 1),
+                    trace_opening=mk_open(trace_idx, tr_vals, tr_proofs, tr_salts, 3 * q),
+                    trace_opening_g=mk_open(trace_idx, tr_vals, tr_proofs, tr_salts, 3 * q + 1),
+                    trace_opening_gg=mk_open(trace_idx, tr_vals, tr_proofs, tr_salts, 3 * q + 2),
+                    quotient_opening=mk_open(quot_idx, q_vals, q_proofs, q_salts, q),
                     fri_openings=fri_openings,
                 )
             )
