@@ -113,11 +113,17 @@ def _phase_fns(n: int, N: int, L: int, num_shifts: int, blowup: int):
         paths = extract_paths(levels, idx)
         return vals, paths
 
+    def gather_salted(levels, values, salts, idx):
+        vals = jnp.take(values, idx)
+        paths = extract_paths(levels, idx)
+        return vals, paths, jnp.take(salts, idx, axis=0)
+
     return dict(
         ood=jax.jit(ood4),
         deep=jax.jit(deep),
         fold=jax.jit(fold),
         gather=jax.jit(gather),
+        gather_salted=jax.jit(gather_salted),
     )
 
 
@@ -294,33 +300,46 @@ class StarkProver:
                 idx = idx % half
                 fri_idx[li - 1] += [idx, idx + half]
 
-        def gather(tree, values, indices, salts):
+        def dispatch(tree, values, indices, salts):
+            """Enqueue the device gathers (no host sync)."""
             iarr = jnp.asarray(np.array(indices, np.int32))
             if tree.planar:
-                vals = np.asarray(jnp.take(values, iarr), np.uint64)
-                paths = np.asarray(
-                    extract_paths(tree.levels, iarr, planar=True), np.uint32
+                v = jnp.take(values, iarr)
+                p = extract_paths(tree.levels, iarr, planar=True)
+                s = jnp.take(salts, iarr, axis=0) if salts is not None else None
+            elif salts is not None:
+                v, p, s = fns["gather_salted"](
+                    tuple(tree.levels), values, salts, iarr
                 )
             else:
-                v_dev, p_dev = fns["gather"](tuple(tree.levels), values, iarr)
-                vals = np.asarray(v_dev, np.uint64)
-                paths = np.asarray(p_dev, np.uint32)
+                v, p = fns["gather"](tuple(tree.levels), values, iarr)
+                s = None
+            return v, p, s
+
+        def materialize(tree, indices, vps):
+            v, p, s = vps
+            vals = np.asarray(v, np.uint64)
+            paths = np.asarray(p, np.uint32)
             proofs = openings_from_paths(indices, paths, len(tree.levels) - 1)
-            # only the opened salts ever reach the host
-            s_np = (
-                np.asarray(jnp.take(salts, iarr, axis=0), np.uint8)
-                if salts is not None
-                else None
-            )
+            s_np = np.asarray(s, np.uint8) if s is not None else None
             return vals, proofs, s_np
 
-        tr_vals, tr_proofs, tr_salts = gather(trace_tree, trace_lde, trace_idx, trace_salts)
-        q_vals, q_proofs, q_salts = gather(quotient_tree, q_evals, quot_idx, quot_salts)
-        d_vals, d_proofs, d_salts = gather(fri_trees[0], fri_layers[0], deep_idx, fri_salts[0])
-        fri_vals_proofs = [
-            gather(fri_trees[li], fri_layers[li], fri_idx[li - 1], fri_salts[li])
-            for li in range(1, num_folds)
+        # enqueue everything first so the transfers overlap, then block once
+        pend = [
+            (trace_tree, trace_idx, dispatch(trace_tree, trace_lde, trace_idx, trace_salts)),
+            (quotient_tree, quot_idx, dispatch(quotient_tree, q_evals, quot_idx, quot_salts)),
+            (fri_trees[0], deep_idx, dispatch(fri_trees[0], fri_layers[0], deep_idx, fri_salts[0])),
         ]
+        for li in range(1, num_folds):
+            pend.append(
+                (fri_trees[li], fri_idx[li - 1],
+                 dispatch(fri_trees[li], fri_layers[li], fri_idx[li - 1], fri_salts[li]))
+            )
+        done = [materialize(t, idx, vps) for (t, idx, vps) in pend]
+        tr_vals, tr_proofs, tr_salts = done[0]
+        q_vals, q_proofs, q_salts = done[1]
+        d_vals, d_proofs, d_salts = done[2]
+        fri_vals_proofs = done[3:]
 
         def mk_open(indices, vals, proofs, salts_np, k):
             return MerkleOpening(
