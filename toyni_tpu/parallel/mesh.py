@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh, PartitionSpec
 
 AXIS = "shards"
 

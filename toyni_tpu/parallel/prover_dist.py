@@ -29,7 +29,7 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as Pspec
+from jax.sharding import PartitionSpec as Pspec
 
 from ..air import FibonacciAir
 from ..config import DEFAULT_CONFIG, StarkConfig

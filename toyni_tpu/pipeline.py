@@ -29,7 +29,6 @@ from .config import DEFAULT_CONFIG, StarkConfig
 from .domain import Domain
 from .field import babybear as bb
 from .field.babybear import P, MONT_R
-from .merkle import build_levels
 from .ops import sha256 as sha
 from .ops.fri import fri_fold
 from .ops.ntt import np_powers

@@ -40,9 +40,7 @@ from .merkle import (
     extract_paths,
     openings_from_paths,
 )
-from .ops.fri import fri_fold
 from .ops.ntt import np_powers
-from .poly import evaluate as poly_eval
 from .proof import MerkleOpening, QueryProof, StarkProof
 from .trace import ExecutionTrace
 from .transcript import Transcript, derive_z
