@@ -122,3 +122,46 @@ def test_two_block_message_boundary():
     got = np.asarray(sha.hash_nodes(jnp.asarray(left), jnp.asarray(right)), np.uint32)
     expect = hashlib.sha256(b"\x01" + b"\xff" * 32 + b"\x00" * 32).digest()
     assert sha.digest_bytes(got[0]) == expect
+
+
+def test_leafless_device_tree_roundtrip(monkeypatch):
+    """Huge trees drop the stored leaf level; openings must still verify."""
+    import jax.numpy as jnp
+    from toyni_tpu import merkle as mk
+    from toyni_tpu.ops import sha256 as sha
+
+    monkeypatch.setattr(mk, "LEAFLESS_MIN", 8)
+    mk._tree_builder.cache_clear()
+    n = 16
+    values = RNG.integers(0, P, n, dtype=np.uint64).astype(np.uint32)
+    salts = RNG.integers(0, 256, (n, 16), dtype=np.uint64).astype(np.uint8)
+    tree = mk.build_salted_device_tree(jnp.asarray(values), salts)
+    assert not tree.has_leaf_level
+    assert tree.num_leaves == n and tree.depth == 4
+
+    # root matches the leaf-level-keeping build
+    full = mk.MerkleTree(
+        [np.asarray(l, np.uint32) for l in mk._device_levels(
+            sha.hash_salted_leaves(jnp.asarray(values), jnp.asarray(salts)))]
+    )
+    assert tree.root() == full.root()
+
+    # reconstruct a path: sibling leaf digest + gathered upper levels
+    idx = 5
+    sib_digest = sha.hash_salted_leaves(
+        jnp.asarray(values[idx ^ 1 : (idx ^ 1) + 1]),
+        jnp.asarray(salts[idx ^ 1 : (idx ^ 1) + 1]),
+    )
+    upper = np.asarray(
+        mk.extract_paths(tree.levels, jnp.asarray([idx >> 1], np.int32)), np.uint32
+    )
+    path = [sha.digest_bytes(np.asarray(sib_digest[0], np.uint32))] + [
+        sha.digest_bytes(upper[0, l]) for l in range(upper.shape[1])
+    ]
+    positions, cur = [], idx
+    for _ in range(4):
+        positions.append(cur % 2 == 1)
+        cur //= 2
+    leaf = bytes(salts[idx]) + int(values[idx]).to_bytes(8, "little")
+    assert mk.verify_merkle_proof(leaf, mk.MerkleProof(path, positions), tree.root())
+    mk._tree_builder.cache_clear()

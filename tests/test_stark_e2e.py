@@ -153,3 +153,20 @@ def test_e2e_four_step_path():
     p = StarkProver(make_trace(256), seed=11).generate_proof()
     assert p.lde_size == 8192
     assert StarkVerifier().verify(p)
+
+
+def test_e2e_leafless_trees(monkeypatch):
+    """Exercise the leafless-tree query path (used automatically for huge
+    LDEs) at a small size by lowering the threshold."""
+    from toyni_tpu import merkle as mk
+    from toyni_tpu import prover as prover_mod
+
+    monkeypatch.setattr(mk, "LEAFLESS_MIN", 1024)
+    mk._tree_builder.cache_clear()
+    prover_mod._phase_fns.cache_clear()
+    try:
+        p = StarkProver(make_trace(64), seed=21).generate_proof()
+        assert StarkVerifier().verify(p)
+    finally:
+        mk._tree_builder.cache_clear()
+        prover_mod._phase_fns.cache_clear()

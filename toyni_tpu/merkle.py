@@ -112,14 +112,24 @@ class DeviceTree:
     Two storage layouts: row-major levels of shape (n_i, 8) (jnp hashing
     path) or planar levels of shape (8, n_i) (Pallas kernel path)."""
 
-    def __init__(self, levels: list, planar: bool = False):
+    def __init__(self, levels: list, planar: bool = False,
+                 has_leaf_level: bool = True):
         self.levels = levels
         self.planar = planar
+        # Huge trees drop the stored leaf-digest level (1 GB at 2^25 leaves);
+        # query-time sibling leaf digests are recomputed from value + salt.
+        self.has_leaf_level = has_leaf_level
         self._root = None
 
     @property
     def num_leaves(self) -> int:
-        return self.levels[0].shape[1 if self.planar else 0]
+        base = self.levels[0].shape[1 if self.planar else 0]
+        return base if self.has_leaf_level else 2 * base
+
+    @property
+    def depth(self) -> int:
+        """Number of path elements in an opening."""
+        return len(self.levels) - 1 + (0 if self.has_leaf_level else 1)
 
     def root(self) -> bytes:
         if self._root is None:
@@ -144,6 +154,10 @@ def _use_pallas(values) -> bool:
         return False
 
 
+# trees at or above this leaf count drop the stored leaf level
+LEAFLESS_MIN = 1 << 22
+
+
 @functools.lru_cache(maxsize=64)
 def _tree_builder(n_leaves: int, salted: bool):
     """One jitted program per (leaf count, salted): leaf hashing + every
@@ -153,12 +167,17 @@ def _tree_builder(n_leaves: int, salted: bool):
     compilation cache."""
     import jax
 
+    # only salted trees drop leaves (unsalted trees in this protocol are the
+    # tiny final FRI layer, and the unsalted gather path assumes level 0)
+    keep_leaves = n_leaves < LEAFLESS_MIN or not salted
     if salted:
         def f(values, salts_dev):
-            return _device_levels(sha.hash_salted_leaves(values, salts_dev))
+            lv = _device_levels(sha.hash_salted_leaves(values, salts_dev))
+            return lv if keep_leaves else lv[1:]
     else:
         def f(values):
-            return _device_levels(sha.hash_unsalted_leaves(values))
+            lv = _device_levels(sha.hash_unsalted_leaves(values))
+            return lv if keep_leaves else lv[1:]
     return jax.jit(f)
 
 
@@ -170,7 +189,10 @@ def build_salted_device_tree(values: jnp.ndarray, salts) -> DeviceTree:
         digests = shp.hash_salted_leaves_planar(values, jnp.asarray(sw))
         return DeviceTree(_device_levels_planar(digests), planar=True)
     fn = _tree_builder(values.shape[0], True)
-    return DeviceTree(fn(values, jnp.asarray(salts)))
+    return DeviceTree(
+        fn(values, jnp.asarray(salts)),
+        has_leaf_level=values.shape[0] < LEAFLESS_MIN,
+    )
 
 
 def build_unsalted_device_tree(values: jnp.ndarray) -> DeviceTree:
@@ -180,7 +202,7 @@ def build_unsalted_device_tree(values: jnp.ndarray) -> DeviceTree:
         digests = shp.hash_unsalted_leaves_planar(values)
         return DeviceTree(_device_levels_planar(digests), planar=True)
     fn = _tree_builder(values.shape[0], False)
-    return DeviceTree(fn(values))
+    return DeviceTree(fn(values), has_leaf_level=True)
 
 
 def _device_levels(leaf_digests: jnp.ndarray) -> list:

@@ -75,14 +75,60 @@ def _xs_inv0_dev(N: int, shift: int, omega: int) -> jnp.ndarray:
         return jnp.asarray(t.astype(np.uint32))
 
 
+_DEFAULT_AIR = FibonacciAir()
+
+
 @functools.lru_cache(maxsize=8)
-def _phase_fns(n: int, N: int, L: int, num_shifts: int, blowup: int):
+def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air):
     """Jitted device phases (one dispatch each) for trace length n.
 
     On a remote-attached device every dispatch costs a ~25 ms round trip, so
-    OOD evaluation, the DEEP quotient, each FRI fold, and each query gather
-    are single fused programs; z and the OOD scalars enter as traced values.
+    the whole commit phase, OOD evaluation, the DEEP quotient, each FRI fold,
+    and each query gather are single fused programs; z and the OOD scalars
+    enter as traced values. `air` must be a long-lived (stateless) instance —
+    the cache is keyed on it, so constructing a fresh AIR per proof would
+    recompile every proof.
     """
+    from .merkle import _device_levels
+    from .ops import sha256 as sha
+    from .ops.ntt import intt as _intt
+
+    domain = Domain.new(n)
+    shifted = Domain.new(N).get_coset(coset_shift)
+    g = domain.group_gen()
+    m = L - n
+    zh_tile = _zh_inv_tile_dev(n, N, coset_shift, shifted.omega)
+    x_dev = shifted.elements()
+
+    def commit(trace_col, r_mask, trace_salts, quot_salts):
+        """Phases 1-2 (fibonacci.rs:110-154) as one program: interpolate,
+        mask, coset LDE, constraint, quotient, and both Merkle trees."""
+        t_coeffs = _intt(trace_col, domain.omega)
+        t_pad = jnp.pad(t_coeffs, (0, L - n))
+        r_low = jnp.pad(r_mask, (0, L - m))
+        r_shift = jnp.pad(r_mask, (n, L - m - n))
+        that = bb.add(t_pad, bb.sub(r_shift, r_low))
+
+        trace_lde = shifted.fft(that)
+        trace_levels = _device_levels(
+            sha.hash_salted_leaves(trace_lde, trace_salts)
+        )
+
+        t_rolls = [jnp.roll(trace_lde, -k * blowup) for k in range(air.num_shifts)]
+        c_evals = air.constraint_lde(t_rolls, x_dev, g, n)
+        q_evals = bb.mont_mul(c_evals, zh_tile)
+        q_coeffs = shifted.ifft(q_evals)
+        quot_levels = _device_levels(
+            sha.hash_salted_leaves(q_evals, quot_salts)
+        )
+        return dict(
+            that=that,
+            trace_lde=trace_lde,
+            q_evals=q_evals,
+            q_coeffs=q_coeffs,
+            trace_levels=trace_levels,
+            quot_levels=quot_levels,
+        )
 
     def ood4(that, q_coeffs, z, gz, ggz):
         def ev(coeffs, pt, ln):
@@ -116,12 +162,29 @@ def _phase_fns(n: int, N: int, L: int, num_shifts: int, blowup: int):
         paths = extract_paths(levels, idx)
         return vals, paths, jnp.take(salts, idx, axis=0)
 
+    def gather_salted_leafless(levels, values, salts, idx):
+        """levels start at tree level 1 (leaf digests not stored); the level-0
+        sibling digest is recomputed from the sibling's value + salt."""
+        from .ops import sha256 as sha
+
+        vals = jnp.take(values, idx)
+        sib = idx ^ 1
+        sib_digest = sha.hash_salted_leaves(
+            jnp.take(values, sib), jnp.take(salts, sib, axis=0)
+        )  # (Q, 8)
+        rest = extract_paths(levels, idx >> 1)  # (Q, depth-1, 8)
+        paths = jnp.concatenate([sib_digest[:, None, :], rest], axis=1)
+        return vals, paths, jnp.take(salts, idx, axis=0)
+
     return dict(
+        commit=jax.jit(commit),
         ood=jax.jit(ood4),
         deep=jax.jit(deep),
         fold=jax.jit(fold),
         gather=jax.jit(gather),
         gather_salted=jax.jit(gather_salted),
+        gather_salted_leafless=jax.jit(gather_salted_leafless),
+        x=x_dev,
     )
 
 
@@ -134,26 +197,12 @@ class StarkProver:
         seed: int | None = None,
     ):
         self.trace = trace
-        self.air = air or FibonacciAir()
+        self.air = air or _DEFAULT_AIR
         self.config = config
         # Injectable randomness (cf. survey of thread_rng at fibonacci.rs:117).
         self.rng = np.random.default_rng(seed)
 
     # ── helpers ────────────────────────────────────────────────────────────
-
-    def _masked_trace_coeffs(self, t_coeffs: jnp.ndarray, n: int) -> jnp.ndarray:
-        """T_hat = T + Z_H * R with Z_H = x^n - 1 on the standard trace
-        domain, so (Z_H R)[i] = R[i-n] - R[i]: a pure shift-and-subtract in
-        coefficient space — no polynomial multiply needed
-        (reference does schoolbook multiply, fibonacci.rs:121)."""
-        m = self.config.mask_degree
-        L = n + m
-        r = self.rng.integers(0, P, m, dtype=np.uint64).astype(np.uint32)
-        r_dev = jnp.asarray(r)
-        t_pad = jnp.pad(t_coeffs, (0, L - n))
-        r_low = jnp.pad(r_dev, (0, L - m))          # R[i] for i < m
-        r_shift = jnp.pad(r_dev, (n, L - m - n))    # R[i-n] for i >= n
-        return bb.add(t_pad, bb.sub(r_shift, r_low))
 
     def _salts(self, n: int) -> jnp.ndarray:
         """Per-leaf 16-byte salts generated ON DEVICE (threefry) from the
@@ -173,28 +222,30 @@ class StarkProver:
         shifted = Domain.new(N).get_coset(cfg.coset_shift)
         g = domain.group_gen()
 
-        # ── 1. trace polynomial + ZK mask (fibonacci.rs:110-121) ──────────
-        with profiling.phase("interpolate+mask"):
-            t_coeffs = self.trace.interpolate_column(domain, 0)
-            that = self._masked_trace_coeffs(t_coeffs, n)
+        fns = _phase_fns(
+            n, N, n + cfg.mask_degree, cfg.blowup, cfg.coset_shift, self.air
+        )
 
-        # ── commit trace on the shifted LDE domain (fibonacci.rs:124-130) ─
-        with profiling.phase("trace_lde+commit"):
-            trace_lde = shifted.fft(that)
-            trace_salts = self._salts(N)
-            trace_tree = build_salted_device_tree(trace_lde, trace_salts)
-            trace_root = trace_tree.root()
-
-        # ── 2. constraint & quotient (fibonacci.rs:132-154) ───────────────
-        with profiling.phase("constraint+quotient+commit"):
+        # ── 1.+2. commit phases (fibonacci.rs:110-154), one fused program ─
+        with profiling.phase("commit_core"):
             B = cfg.blowup
-            x = shifted.elements()
-            t_rolls = [jnp.roll(trace_lde, -k * B) for k in range(self.air.num_shifts)]
-            c_evals = self.air.constraint_lde(t_rolls, x, g, n)
-            q_evals = bb.mont_mul(c_evals, _zh_inv_tile_dev(n, N, cfg.coset_shift, shifted.omega))
-            q_coeffs = shifted.ifft(q_evals)
+            m = cfg.mask_degree
+            r_mask = jnp.asarray(
+                self.rng.integers(0, P, m, dtype=np.uint64).astype(np.uint32)
+            )
+            trace_col = jnp.asarray(self.trace.columns[0].astype(np.uint32))
+            assert domain.size == self.trace.num_rows
+            trace_salts = self._salts(N)
             quot_salts = self._salts(N)
-            quotient_tree = build_salted_device_tree(q_evals, quot_salts)
+            out = fns["commit"](trace_col, r_mask, trace_salts, quot_salts)
+            that = out["that"]
+            trace_lde = out["trace_lde"]
+            q_evals = out["q_evals"]
+            q_coeffs = out["q_coeffs"]
+            x = fns["x"]
+            trace_tree = DeviceTree(out["trace_levels"])
+            quotient_tree = DeviceTree(out["quot_levels"])
+            trace_root = trace_tree.root()
             quotient_root = quotient_tree.root()
 
         # ── 3. Fiat-Shamir: derive OOD point z (fibonacci.rs:156-161) ─────
@@ -204,7 +255,6 @@ class StarkProver:
         z = derive_z(transcript, N, cfg.coset_shift)
 
         # ── 4. OOD evaluations (fibonacci.rs:163-183) ─────────────────────
-        fns = _phase_fns(n, N, n + cfg.mask_degree, self.air.num_shifts, cfg.blowup)
         with profiling.phase("ood_evals"):
             ood_vec = fns["ood"](
                 that, q_coeffs,
@@ -305,6 +355,10 @@ class StarkProver:
                 v = jnp.take(values, iarr)
                 p = extract_paths(tree.levels, iarr, planar=True)
                 s = jnp.take(salts, iarr, axis=0) if salts is not None else None
+            elif salts is not None and not tree.has_leaf_level:
+                v, p, s = fns["gather_salted_leafless"](
+                    tuple(tree.levels), values, salts, iarr
+                )
             elif salts is not None:
                 v, p, s = fns["gather_salted"](
                     tuple(tree.levels), values, salts, iarr
@@ -318,7 +372,7 @@ class StarkProver:
             v, p, s = vps
             vals = np.asarray(v, np.uint64)
             paths = np.asarray(p, np.uint32)
-            proofs = openings_from_paths(indices, paths, len(tree.levels) - 1)
+            proofs = openings_from_paths(indices, paths, tree.depth)
             s_np = np.asarray(s, np.uint8) if s is not None else None
             return vals, proofs, s_np
 
