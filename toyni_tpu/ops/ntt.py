@@ -175,6 +175,35 @@ def _four_step_tables_dev(n: int, omega: int):
 _FOUR_STEP_MIN = 1 << 12
 
 
+def four_step_apply(values: jnp.ndarray, tabs) -> jnp.ndarray:
+    """Apply a four-step transform given its tables (colt, rowt, W)."""
+    colt, rowt, W = tabs
+    n1, n2 = W.shape
+    x2d = values.reshape(n1, n2)
+    a = ntt_axis0(x2d, colt)              # column DFTs, n2-wide lanes
+    a = bb.mont_mul(a, W)                 # twiddle correction
+    c = ntt_axis0(a.T, rowt)              # row DFTs, n1-wide lanes
+    return c.reshape(n1 * n2)
+
+
+def ntt_tables(size: int, omega: int):
+    """The table pytree `apply_ntt`-style callers should pass INTO a jitted
+    function as an argument. Closing a jit over these instead would bake up
+    to hundreds of MB of constants into the compiled program (and into the
+    remote-compile request)."""
+    if size >= _FOUR_STEP_MIN:
+        _, _, colt, rowt, W = _four_step_tables_dev(size, omega)
+        return (colt, rowt, W)
+    return _twiddle_tables(size, omega)
+
+
+def apply_ntt(values: jnp.ndarray, tabs, size: int) -> jnp.ndarray:
+    """Transform with explicitly-supplied tables (jit-argument safe)."""
+    if size >= _FOUR_STEP_MIN:
+        return four_step_apply(values, tabs)
+    return ntt_stages(values, tabs)
+
+
 def ntt(values: jnp.ndarray, omega: int) -> jnp.ndarray:
     """Forward NTT: out[k] = sum_j values[j] * omega^(jk)  (src/ntt.rs:24-53).
 
@@ -183,12 +212,7 @@ def ntt(values: jnp.ndarray, omega: int) -> jnp.ndarray:
     """
     n = values.shape[-1]
     if values.ndim == 1 and n >= _FOUR_STEP_MIN:
-        n1, n2, colt, rowt, W = _four_step_tables_dev(n, omega)
-        x2d = values.reshape(n1, n2)
-        a = ntt_axis0(x2d, colt)              # column DFTs, n2-wide lanes
-        a = bb.mont_mul(a, W)                 # twiddle correction
-        c = ntt_axis0(a.T, rowt)              # row DFTs, n1-wide lanes
-        return c.reshape(n)
+        return four_step_apply(values, ntt_tables(n, omega))
     return ntt_stages(values, _twiddle_tables(n, omega))
 
 

@@ -89,35 +89,57 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air):
     the cache is keyed on it, so constructing a fresh AIR per proof would
     recompile every proof.
     """
+    from .domain import _shift_tables
     from .merkle import _device_levels
     from .ops import sha256 as sha
-    from .ops.ntt import intt as _intt
+    from .ops.ntt import apply_ntt, ntt_tables
 
     domain = Domain.new(n)
     shifted = Domain.new(N).get_coset(coset_shift)
     g = domain.group_gen()
     m = L - n
-    zh_tile = _zh_inv_tile_dev(n, N, coset_shift, shifted.omega)
-    x_dev = shifted.elements()
+    inv_om_n = pow(domain.omega, P - 2, P)
+    inv_om_N = pow(shifted.omega, P - 2, P)
+    shift_fwd, shift_bwd = _shift_tables(N, coset_shift)
+    n_inv = pow(n, P - 2, P)
+    N_inv = pow(N, P - 2, P)
 
-    def commit(trace_col, r_mask, trace_salts, quot_salts):
+    # Every large constant rides into the jitted programs as an ARGUMENT —
+    # closing over device arrays would bake them into the compiled program
+    # (at 2^20 rows that is >500 MB of inline constants, more than this
+    # deployment's remote compiler accepts, and a compile-time tax anywhere).
+    tables = dict(
+        trace_intt=ntt_tables(n, inv_om_n),
+        fft=ntt_tables(N, shifted.omega),
+        ifft=ntt_tables(N, inv_om_N),
+        shift_fwd=shift_fwd,
+        shift_bwd=shift_bwd,
+        zh_tile=_zh_inv_tile_dev(n, N, coset_shift, shifted.omega),
+        x=shifted.elements(),
+    )
+
+    def commit(trace_col, r_mask, trace_salts, quot_salts, tb):
         """Phases 1-2 (fibonacci.rs:110-154) as one program: interpolate,
         mask, coset LDE, constraint, quotient, and both Merkle trees."""
-        t_coeffs = _intt(trace_col, domain.omega)
+        t_coeffs = bb.mul_const(apply_ntt(trace_col, tb["trace_intt"], n), n_inv)
         t_pad = jnp.pad(t_coeffs, (0, L - n))
         r_low = jnp.pad(r_mask, (0, L - m))
         r_shift = jnp.pad(r_mask, (n, L - m - n))
         that = bb.add(t_pad, bb.sub(r_shift, r_low))
 
-        trace_lde = shifted.fft(that)
+        padded = jnp.pad(that, (0, N - L))
+        trace_lde = apply_ntt(bb.mont_mul(padded, tb["shift_fwd"]), tb["fft"], N)
         trace_levels = _device_levels(
             sha.hash_salted_leaves(trace_lde, trace_salts)
         )
 
         t_rolls = [jnp.roll(trace_lde, -k * blowup) for k in range(air.num_shifts)]
-        c_evals = air.constraint_lde(t_rolls, x_dev, g, n)
-        q_evals = bb.mont_mul(c_evals, zh_tile)
-        q_coeffs = shifted.ifft(q_evals)
+        c_evals = air.constraint_lde(t_rolls, tb["x"], g, n)
+        q_evals = bb.mont_mul(c_evals, tb["zh_tile"])
+        q_coeffs = bb.mont_mul(
+            bb.mul_const(apply_ntt(q_evals, tb["ifft"], N), N_inv),
+            tb["shift_bwd"],
+        )
         quot_levels = _device_levels(
             sha.hash_salted_leaves(q_evals, quot_salts)
         )
@@ -184,7 +206,8 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air):
         gather=jax.jit(gather),
         gather_salted=jax.jit(gather_salted),
         gather_salted_leafless=jax.jit(gather_salted_leafless),
-        x=x_dev,
+        x=tables["x"],
+        tables=tables,
     )
 
 
@@ -237,7 +260,7 @@ class StarkProver:
             assert domain.size == self.trace.num_rows
             trace_salts = self._salts(N)
             quot_salts = self._salts(N)
-            out = fns["commit"](trace_col, r_mask, trace_salts, quot_salts)
+            out = fns["commit"](trace_col, r_mask, trace_salts, quot_salts, fns["tables"])
             that = out["that"]
             trace_lde = out["trace_lde"]
             q_evals = out["q_evals"]
