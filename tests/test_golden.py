@@ -25,9 +25,9 @@ from toyni_tpu.prover import StarkProver
 from toyni_tpu.trace import ExecutionTrace
 from toyni_tpu import proof as proof_mod
 
-GOLDEN_SHA256 = "b29c32059dfdd1cdce42d1d8f0d10d054614ced7fa49916dddc315a326ea0ab5"
-GOLDEN_T_Z = 1450064783
-GOLDEN_TRACE_ROOT = "edd4b37d6da675f8b2bc804826629b01ced687277d186231a9afcdcafe6a0d61"
+GOLDEN_SHA256 = "c71dd20794b4fae75bac1d5e608819b64893fd58bf7407945b3ba986985f42e8"
+GOLDEN_T_Z = 1739385554
+GOLDEN_TRACE_ROOT = "dfe84c96deb33cac1bdc33b3c3ba5830b8f2738d81994bfa8aa7ef1bb3db9b56"
 
 
 def test_golden_proof_bytes():

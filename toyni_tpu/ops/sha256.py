@@ -114,74 +114,78 @@ def unpack_words(words):
     return parts.reshape(*words.shape[:-1], words.shape[-1] * 4)
 
 
-def _value_le8(values):
-    """(...,) u32 field values -> (..., 8) u8, the 8-byte LE u64 encoding of
-    the reference (src/babybear.rs:53-56; high 4 bytes are zero since v < p)."""
-    v = values.astype(_U32)
-    z = jnp.zeros_like(v, dtype=_U8)
-    return jnp.stack(
-        [
-            (v & 0xFF).astype(_U8), ((v >> 8) & 0xFF).astype(_U8),
-            ((v >> 16) & 0xFF).astype(_U8), ((v >> 24) & 0xFF).astype(_U8),
-            z, z, z, z,
-        ],
-        axis=-1,
-    )
-
-
-def _single_block(msg_bytes, msg_len: int):
-    """Pad a (..., msg_len) u8 message (msg_len <= 55) into one 16-word block."""
-    lead = msg_bytes.shape[:-1]
-    pad80 = jnp.full((*lead, 1), 0x80, _U8)
-    # 64 = msg_len + 1 (0x80) + zeros + 2 (length; bit lengths here < 2^16 so
-    # the leading 6 bytes of the 8-byte length field are part of the zeros)
-    zeros = jnp.zeros((*lead, 61 - msg_len), _U8)
-    bitlen = msg_len * 8
-    lenb = jnp.broadcast_to(
-        jnp.asarray([(bitlen >> 8) & 0xFF, bitlen & 0xFF], np.uint8), (*lead, 2)
-    )
-    return pack_words(jnp.concatenate([msg_bytes, pad80, zeros, lenb], axis=-1))
-
+# Message construction is WORD-wise: the 16 block words are composed directly
+# from salt words / field values / digest words with u32 shifts. A byte-array
+# intermediate ((N, 64) u8 promoted to u32 inside pack_words) costs 256 B per
+# lane of HBM — 8 GB per tree at LDE 2^25 — and was the OOM that capped trace
+# size; the word-wise path's biggest temp is the (N, 16) block itself.
 
 def hash_salted_leaves(values, salts):
     """SHA256(0x00 || salt || value8LE) for every lane.
 
-    values: (...,) u32 standard-form field elements; salts: (..., 16) u8.
-    Returns (..., 8) u32 digests. (Leaf encoding: src/fibonacci.rs:340-353 +
-    leaf tag src/merkle.rs:105-113.)
+    values: (...,) u32 standard-form field elements. salts: (..., 4) u32
+    big-endian salt words (canonical: salt bytes = BE bytes of the 4 words),
+    or (..., 16) u8 raw bytes (converted). Returns (..., 8) u32 digests.
+    (Leaf encoding: src/fibonacci.rs:340-353 + leaf tag src/merkle.rs:105-113.)
     """
-    lead = values.shape
-    tag = jnp.zeros((*lead, 1), _U8)
-    msg = jnp.concatenate([tag, salts.astype(_U8), _value_le8(values)], axis=-1)
-    return sha256_blocks(_single_block(msg, 25)[..., None, :])
+    v = values.astype(_U32)
+    if salts.dtype == jnp.uint8:
+        salts = pack_words(salts)
+    s0, s1, s2, s3 = (salts[..., k] for k in range(4))
+    z = jnp.zeros_like(v)
+    block = jnp.stack(
+        [
+            s0 >> 8,                                  # 0x00 tag + salt bytes
+            ((s0 & 0xFF) << 24) | (s1 >> 8),
+            ((s1 & 0xFF) << 24) | (s2 >> 8),
+            ((s2 & 0xFF) << 24) | (s3 >> 8),
+            ((s3 & 0xFF) << 24) | ((v & 0xFF) << 16)
+            | (((v >> 8) & 0xFF) << 8) | ((v >> 16) & 0xFF),
+            ((v >> 24) & 0xFF) << 24,
+            z + _U32(0x00800000),
+            z, z, z, z, z, z, z, z,
+            z + _U32(200),                            # 25-byte message
+        ],
+        axis=-1,
+    )
+    return sha256_blocks(block[..., None, :])
 
 
 def hash_unsalted_leaves(values):
     """SHA256(0x00 || value8LE): the public final-FRI-layer leaves
     (src/fibonacci.rs:357-363)."""
-    lead = values.shape
-    tag = jnp.zeros((*lead, 1), _U8)
-    msg = jnp.concatenate([tag, _value_le8(values)], axis=-1)
-    return sha256_blocks(_single_block(msg, 9)[..., None, :])
+    v = values.astype(_U32)
+    z = jnp.zeros_like(v)
+    block = jnp.stack(
+        [
+            ((v & 0xFF) << 16) | (((v >> 8) & 0xFF) << 8) | ((v >> 16) & 0xFF),
+            ((v >> 24) & 0xFF) << 24,
+            z + _U32(0x00800000),
+            z, z, z, z, z, z, z, z, z, z, z, z,
+            z + _U32(72),                             # 9-byte message
+        ],
+        axis=-1,
+    )
+    return sha256_blocks(block[..., None, :])
 
 
 def hash_nodes(left, right):
     """SHA256(0x01 || left || right) for (..., 8) u32 digest pairs
     (src/merkle.rs:117-123). 65-byte message -> two blocks."""
-    lead = left.shape[:-1]
-    lb = unpack_words(left)   # (..., 32) u8
-    rb = unpack_words(right)
-    tag = jnp.ones((*lead, 1), _U8)
-    first = jnp.concatenate([tag, lb, rb[..., :31]], axis=-1)  # 64 bytes
-    block1 = pack_words(first)
-    pad80 = jnp.full((*lead, 1), 0x80, _U8)
-    zeros = jnp.zeros((*lead, 60), _U8)  # 64 = 1 (last right byte) + 1 + 60 + 2
-    bitlen = 65 * 8  # 520 = 0x0208
-    lenb = jnp.broadcast_to(
-        jnp.asarray([(bitlen >> 8) & 0xFF, bitlen & 0xFF], np.uint8), (*lead, 2)
-    )
-    second = jnp.concatenate([rb[..., 31:32], pad80, zeros, lenb], axis=-1)
-    block2 = pack_words(second)
+    l = [left[..., k] for k in range(8)]
+    r = [right[..., k] for k in range(8)]
+    z = jnp.zeros_like(l[0])
+    w = [(z + _U32(0x01 << 24)) | (l[0] >> 8)]
+    for i in range(1, 8):
+        w.append(((l[i - 1] & 0xFF) << 24) | (l[i] >> 8))
+    w.append(((l[7] & 0xFF) << 24) | (r[0] >> 8))
+    for i in range(1, 8):
+        w.append(((r[i - 1] & 0xFF) << 24) | (r[i] >> 8))
+    block1 = jnp.stack(w, axis=-1)
+    w2 = [((r[7] & 0xFF) << 24) | _U32(0x00800000)]
+    w2 += [z] * 14
+    w2.append(z + _U32(520))                          # 65-byte message
+    block2 = jnp.stack(w2, axis=-1)
     return sha256_blocks(jnp.stack([block1, block2], axis=-2))
 
 

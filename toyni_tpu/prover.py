@@ -228,12 +228,14 @@ class StarkProver:
     # ── helpers ────────────────────────────────────────────────────────────
 
     def _salts(self, n: int) -> jnp.ndarray:
-        """Per-leaf 16-byte salts generated ON DEVICE (threefry) from the
-        injectable seed — transferring host salts costs ~16 B/leaf of tunnel
-        bandwidth per committed layer. Only the <=3*num_queries opened salts
-        ever come back to the host (gathered at query time)."""
+        """Per-leaf 16-byte salts as (n, 4) u32 big-endian words, generated ON
+        DEVICE (threefry) from the injectable seed — word form feeds the
+        SHA-256 block construction directly, and transferring host salts would
+        cost 16 B/leaf of tunnel bandwidth per committed layer. Only the
+        <=3*num_queries opened salts ever reach the host (query-time gather);
+        their canonical byte form is the BE bytes of the 4 words."""
         key = jax.random.PRNGKey(int(self.rng.integers(0, 2**63)))
-        return jax.random.bits(key, (n, 16), dtype=jnp.uint8)
+        return jax.random.bits(key, (n, 4), dtype=jnp.uint32)
 
     # ── main entry point ───────────────────────────────────────────────────
 
@@ -396,7 +398,7 @@ class StarkProver:
             vals = np.asarray(v, np.uint64)
             paths = np.asarray(p, np.uint32)
             proofs = openings_from_paths(indices, paths, tree.depth)
-            s_np = np.asarray(s, np.uint8) if s is not None else None
+            s_np = np.asarray(s, np.uint64) if s is not None else None
             return vals, proofs, s_np
 
         # enqueue everything first so the transfers overlap, then block once
@@ -417,10 +419,12 @@ class StarkProver:
         fri_vals_proofs = done[3:]
 
         def mk_open(indices, vals, proofs, salts_np, k):
-            return MerkleOpening(
-                indices[k], int(vals[k]), proofs[k],
-                bytes(salts_np[k]) if salts_np is not None else b"",
+            salt = (
+                b"".join(int(w).to_bytes(4, "big") for w in salts_np[k])
+                if salts_np is not None
+                else b""
             )
+            return MerkleOpening(indices[k], int(vals[k]), proofs[k], salt)
 
         query_proofs = []
         for q, qi in enumerate(query_indices):
