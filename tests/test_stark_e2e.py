@@ -170,3 +170,49 @@ def test_e2e_leafless_trees(monkeypatch):
     finally:
         mk._tree_builder.cache_clear()
         prover_mod._phase_fns.cache_clear()
+
+
+def test_fuzz_verifier_rejects_random_mutations(valid_proof):
+    """Randomized soundness sweep: mutate one random field of the proof and
+    require rejection (generalizes the reference's fixed tamper cases)."""
+    import random
+
+    rng = random.Random(0xFADE)
+    v = StarkVerifier()
+    rejected = 0
+    for trial in range(30):
+        p = copy.deepcopy(valid_proof)
+        kind = rng.randrange(6)
+        if kind == 0:  # scalar OOD values
+            field = rng.choice(["t_z", "t_gz", "t_ggz", "q_z"])
+            setattr(p, field, (getattr(p, field) + rng.randrange(1, P)) % P)
+        elif kind == 1:  # a commitment byte
+            which = rng.randrange(len(p.fri_commitments))
+            c = bytearray(p.fri_commitments[which])
+            c[rng.randrange(32)] ^= 1 << rng.randrange(8)
+            p.fri_commitments[which] = bytes(c)
+        elif kind == 2:  # an opened value
+            qp = rng.choice(p.query_proofs)
+            op = rng.choice(
+                [qp.deep_opening, qp.deep_opening_pair, qp.trace_opening,
+                 qp.trace_opening_g, qp.trace_opening_gg, qp.quotient_opening]
+            )
+            op.value = (op.value + rng.randrange(1, P)) % P
+        elif kind == 3:  # a Merkle path digest byte
+            qp = rng.choice(p.query_proofs)
+            path = qp.trace_opening.proof.path
+            i = rng.randrange(len(path))
+            d = bytearray(path[i])
+            d[rng.randrange(32)] ^= 1
+            path[i] = bytes(d)
+        elif kind == 4:  # a salt byte (breaks the leaf hash)
+            qp = rng.choice(p.query_proofs)
+            s = bytearray(qp.quotient_opening.salt)
+            s[rng.randrange(16)] ^= 1
+            qp.quotient_opening.salt = bytes(s)
+        else:  # final-layer value
+            i = rng.randrange(len(p.fri_final_layer))
+            p.fri_final_layer[i] = (p.fri_final_layer[i] + 1) % P
+        if not v.verify(p):
+            rejected += 1
+    assert rejected == 30, f"only {rejected}/30 mutations rejected"

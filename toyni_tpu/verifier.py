@@ -12,13 +12,11 @@ likewise pure host code with no device boundary).
 
 from __future__ import annotations
 
-import numpy as np
 
 from .air import Air, FibonacciAir
 from .config import DEFAULT_CONFIG, StarkConfig
 from .field.babybear import P
 from .merkle import host_tree_root, verify_merkle_proof
-from .ops.ntt import np_powers
 from .proof import MerkleOpening, StarkProof
 from .transcript import Transcript, derive_z
 
@@ -98,8 +96,12 @@ class StarkVerifier:
         if len(proof.query_proofs) != cfg.num_queries:
             return False
 
-        # ── 5. shifted domain elements for x-lookups (verifier.rs:100-102)
-        shifted_elements = np_powers(omega_N, N) * np.uint64(shift) % np.uint64(P)
+        # ── 5. shifted-domain x-lookups (verifier.rs:100-102). The reference
+        # materializes all N elements; only ~queries*log(N) positions are
+        # ever read, so compute x_i = shift * omega^i on demand.
+        def shifted_element(i: int) -> int:
+            return shift * pow(omega_N, i, P) % P
+
         half_inv = (P + 1) // 2
 
         # ── 6. per-query checks (verifier.rs:105-229) ─────────────────────
@@ -131,7 +133,7 @@ class StarkVerifier:
                 return False
 
             # 6d. DEEP reconstruction from opened + OOD values
-            x_i = int(shifted_elements[qi])
+            x_i = shifted_element(qi)
             inv_x_minus_z = pow((x_i - z) % P, P - 2, P)
             expected_deep = (
                 (qp.quotient_opening.value - proof.q_z)
@@ -144,7 +146,7 @@ class StarkVerifier:
 
             # 6e. first fold: layer 0 -> 1
             a0, b0 = qp.deep_opening.value, qp.deep_opening_pair.value
-            x0 = int(shifted_elements[qi])
+            x0 = x_i
             avg = (a0 + b0) * half_inv % P
             diff = (a0 - b0) * half_inv % P
             prev_folded = (avg + diff * fri_betas[0] % P * pow(x0, P - 2, P)) % P
@@ -169,7 +171,7 @@ class StarkVerifier:
                 elif op_pair.value != prev_folded:
                     return False
 
-                x = pow(int(shifted_elements[lo]), 1 << fold_k, P)
+                x = pow(shifted_element(lo), 1 << fold_k, P)
                 a_l, b_l = op.value, op_pair.value
                 avg = (a_l + b_l) * half_inv % P
                 diff = (a_l - b_l) * half_inv % P
