@@ -52,17 +52,71 @@ def _rotr(x, n: int):
     return (x >> n) | (x << (32 - n))
 
 
+def _prefer_unrolled() -> bool:
+    """Unrolled compression on TPU, rolled elsewhere.
+
+    Unrolled: the whole 64-round compression fuses into register-resident
+    elementwise work — HBM traffic is just message-in/digest-out (~25x less
+    than the rolled window). XLA:TPU compiles it fine; XLA:CPU takes
+    unbounded time on the unrolled graph, so CPU (tests) stays rolled — the
+    two paths are the same arithmetic and produce identical bytes.
+    """
+    import jax
+
+    try:
+        d = jax.config.jax_default_device
+        if d is not None and d.platform != "tpu":
+            return False
+        return any(x.platform == "tpu" for x in jax.devices())
+    except Exception:
+        return False
+
+
+_UNROLLED = None
+
+
+def _unrolled() -> bool:
+    global _UNROLLED
+    if _UNROLLED is None:
+        _UNROLLED = _prefer_unrolled()
+    return _UNROLLED
+
+
+def compress_unrolled(state, block):
+    """Fully unrolled compression (see `_prefer_unrolled`)."""
+    win = [block[..., t] for t in range(16)]
+    a, b, c, d, e, f, g, h = (state[..., i] for i in range(8))
+    for t in range(64):
+        w_t = win[0]
+        S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = h + S1 + ch + jnp.uint32(int(_K[t])) + w_t
+        S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = S0 + maj
+        s0 = _rotr(win[1], 7) ^ _rotr(win[1], 18) ^ (win[1] >> 3)
+        s1 = _rotr(win[14], 17) ^ _rotr(win[14], 19) ^ (win[14] >> 10)
+        new_w = win[0] + s0 + win[9] + s1
+        win = win[1:] + [new_w]
+        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
+    out = jnp.stack([a, b, c, d, e, f, g, h], axis=-1)
+    return state + out
+
+
 def compress(state, block):
     """One SHA-256 compression. state: (..., 8) u32; block: (..., 16) u32.
 
-    The 64 rounds run in a `lax.fori_loop` with the message schedule kept as
+    On TPU: fully unrolled (fuses into one register-resident kernel). On CPU:
+    the 64 rounds run in a `lax.fori_loop` with the message schedule kept as
     a rolling 16-word window stacked on a leading axis (static indices only):
     at round t the window holds w[t..t+15], so w[t] = win[0] and the next
-    schedule word w[t+16] = sig1(win[14]) + win[9] + sig0(win[1]) + win[0].
-    This keeps the compiled program ~64x smaller than a fully unrolled
-    compression while every lane stays a vectorized VPU op.
+    schedule word w[t+16] = sig1(win[14]) + win[9] + sig0(win[1]) + win[0] —
+    XLA:CPU cannot compile the unrolled graph in reasonable time.
     """
     import jax
+
+    if _unrolled():
+        return compress_unrolled(state, block)
 
     k_tab = jnp.asarray(_K)
     win0 = jnp.moveaxis(block, -1, 0)  # (16, ...)
