@@ -117,19 +117,45 @@ def ntt_stages(values: jnp.ndarray, twiddles: tuple) -> jnp.ndarray:
 # 1-D transforms are decomposed four-step into two such batched passes.
 
 def ntt_axis0(x2d: jnp.ndarray, twiddles: tuple) -> jnp.ndarray:
-    """Batched NTT along axis 0 of a (n1, B) array (B = lanes, ideally >=128)."""
+    """Batched NTT along axis 0 of a (n1, B) array (B = lanes, ideally >=128).
+
+    Consecutive radix-2 stages are fused in pairs (radix-4): the four outputs
+    of a double butterfly are computed in registers from four inputs, so the
+    array makes one HBM round trip per TWO stages — same multiply count, half
+    the memory passes of the per-stage loop.
+    """
     n1 = x2d.shape[0]
     log_n = n1.bit_length() - 1
     assert len(twiddles) == log_n
     v = jnp.take(x2d, jnp.asarray(_bitrev(n1)), axis=0)
     B = x2d.shape[1]
-    for s in range(1, log_n + 1):
-        length = 1 << s
-        half = length >> 1
-        v = v.reshape(n1 // length, 2, half, B)
-        u = v[:, 0]
-        t = bb.mont_mul(v[:, 1], twiddles[s - 1][None, :, None])
+    s = 1
+    if log_n % 2 == 1:
+        # one radix-2 stage so the remainder is a whole number of pairs
+        q = 1 << (s - 1)
+        v = v.reshape(n1 // (2 * q), 2, q, B)
+        u, t = v[:, 0], bb.mont_mul(v[:, 1], twiddles[0][None, :, None])
         v = jnp.stack([bb.add(u, t), bb.sub(u, t)], axis=1)
+        s += 1
+    while s <= log_n:
+        # fused stages s (len 2q) and s+1 (len 4q)
+        q = 1 << (s - 1)
+        v = v.reshape(n1 // (4 * q), 4, q, B)
+        x0, x1, x2, x3 = v[:, 0], v[:, 1], v[:, 2], v[:, 3]
+        w_s = twiddles[s - 1][None, :, None]            # (q,)
+        w_a = twiddles[s][:q][None, :, None]            # w_{s+1}[j]
+        w_b = twiddles[s][q:][None, :, None]            # w_{s+1}[q+j]
+        t1 = bb.mont_mul(x1, w_s)
+        t3 = bb.mont_mul(x3, w_s)
+        a0, a1 = bb.add(x0, t1), bb.sub(x0, t1)
+        a2, a3 = bb.add(x2, t3), bb.sub(x2, t3)
+        u2 = bb.mont_mul(a2, w_a)
+        u3 = bb.mont_mul(a3, w_b)
+        v = jnp.stack(
+            [bb.add(a0, u2), bb.add(a1, u3), bb.sub(a0, u2), bb.sub(a1, u3)],
+            axis=1,
+        )
+        s += 2
     return v.reshape(n1, B)
 
 
