@@ -190,3 +190,48 @@ def test_powers_traced_matches_powers():
     # under jit with a traced base
     f = jax.jit(lambda b: bb.powers_traced(b, 64, mont=False))
     check(f(jnp.uint32(7)), oracle.powers(7, 64))
+
+
+# ── ext Frobenius / fast inverse / poly evaluation (ext-challenges mode) ────
+
+def test_ext_frobenius_is_pth_power():
+    a = rand_ext((8,))
+    for k in (1, 2, 3):
+        got = ext.frobenius(dev(a), k)
+        expect = ext.pow_const(dev(a), P**k)
+        check(got, expect)
+
+
+def test_ext_inv_fast_matches_fermat():
+    a = rand_ext((64,))
+    check(ext.inv_fast(dev(a)), ext.inv(dev(a)))
+    prod = np.asarray(ext.mul(dev(a), ext.inv_fast(dev(a))), np.uint64)
+    one = np.zeros((64, 4), np.uint64)
+    one[:, 0] = 1
+    np.testing.assert_array_equal(prod, one)
+
+
+def test_ext_powers_traced():
+    z = rand_ext(())  # one ext scalar
+    hz = h_ext(z)
+    got = np.asarray(ext.powers_traced(dev(z), 40), np.uint64)
+    cur = ext.H_ONE
+    for i in range(40):
+        assert h_ext(got[i]) == cur
+        cur = ext.h_mul(cur, hz)
+
+
+def test_ext_eval_poly_base_coeffs():
+    import jax
+
+    for n in (100, 256, 2000):  # exercises both the direct and split paths
+        coeffs = rand_arr(n)
+        z = rand_ext(())
+        hz = h_ext(z)
+        f = jax.jit(lambda c, zz: ext.eval_poly_base_coeffs(c, zz))
+        got = h_ext(np.asarray(f(dev(coeffs), dev(z)), np.uint64))
+        # host Horner in the extension field
+        acc = ext.H_ZERO
+        for c in reversed([int(x) for x in coeffs]):
+            acc = ext.h_add(ext.h_mul(acc, hz), ext.h_from_base(c))
+        assert got == acc, f"n={n}"

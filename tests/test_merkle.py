@@ -165,3 +165,35 @@ def test_leafless_device_tree_roundtrip(monkeypatch):
     leaf = bytes(salts[idx]) + int(values[idx]).to_bytes(8, "little")
     assert mk.verify_merkle_proof(leaf, mk.MerkleProof(path, positions), tree.root())
     mk._tree_builder.cache_clear()
+
+
+# ── ext-codeword leaves (ext-challenges soundness mode) ─────────────────────
+
+def test_salted_ext_leaf_hash_matches_hashlib():
+    from toyni_tpu.field import ext as extf
+
+    n = 129
+    values = RNG.integers(0, P, (n, 4), dtype=np.uint64).astype(np.uint32)
+    salts = RNG.integers(0, 256, (n, 16), dtype=np.uint64).astype(np.uint8)
+    got = np.asarray(
+        sha.hash_salted_leaves_ext(jnp.asarray(values), jnp.asarray(salts)),
+        np.uint32,
+    )
+    for i in range(0, n, 13):
+        v = tuple(int(x) for x in values[i])
+        expect = hashlib.sha256(
+            b"\x00" + bytes(salts[i]) + extf.h_to_bytes(v)
+        ).digest()
+        assert sha.digest_bytes(got[i]) == expect, f"leaf {i}"
+
+
+def test_unsalted_ext_leaf_hash_matches_hashlib():
+    from toyni_tpu.field import ext as extf
+
+    n = 64
+    values = RNG.integers(0, P, (n, 4), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(sha.hash_unsalted_leaves_ext(jnp.asarray(values)), np.uint32)
+    for i in range(0, n, 7):
+        v = tuple(int(x) for x in values[i])
+        expect = hashlib.sha256(b"\x00" + extf.h_to_bytes(v)).digest()
+        assert sha.digest_bytes(got[i]) == expect, f"leaf {i}"

@@ -216,3 +216,88 @@ def test_fuzz_verifier_rejects_random_mutations(valid_proof):
         if not v.verify(p):
             rejected += 1
     assert rejected == 30, f"only {rejected}/30 mutations rejected"
+
+
+# ── extension-field soundness mode (ext_challenges=True) ────────────────────
+#
+# z and the FRI betas come from F_p^4 (~124-bit challenge space); the DEEP
+# codeword, all FRI layers, and the OOD scalars are Ext elements while trace
+# and quotient commitments stay base-field. The reference documents this
+# intent (src/ext.rs:1-12) but never wires it into its pipeline.
+
+from toyni_tpu.config import StarkConfig
+
+
+@pytest.fixture(scope="module")
+def ext_proof():
+    cfg = StarkConfig(ext_challenges=True)
+    return StarkProver(make_trace(), config=cfg, seed=11).generate_proof(), cfg
+
+
+def test_ext_mode_accepts_valid_proof(ext_proof):
+    proof, cfg = ext_proof
+    assert proof.ext
+    assert isinstance(proof.t_z, tuple) and len(proof.t_z) == 4
+    assert all(isinstance(v, tuple) for v in proof.fri_final_layer)
+    assert isinstance(proof.query_proofs[0].deep_opening.value, tuple)
+    assert isinstance(proof.query_proofs[0].trace_opening.value, int)
+    assert StarkVerifier(config=cfg).verify(proof)
+
+
+def test_ext_mode_rejects_base_verifier_and_vice_versa(ext_proof):
+    proof, cfg = ext_proof
+    assert not StarkVerifier().verify(proof)  # base verifier, ext proof
+
+
+def test_ext_mode_tampered_ood_rejected(ext_proof):
+    proof, cfg = ext_proof
+    p = copy.deepcopy(proof)
+    t = list(p.t_z)
+    t[0] = (t[0] + 1) % P
+    p.t_z = tuple(t)
+    assert not StarkVerifier(config=cfg).verify(p)
+
+
+def test_ext_mode_tampered_final_layer_rejected(ext_proof):
+    proof, cfg = ext_proof
+    p = copy.deepcopy(proof)
+    v = list(p.fri_final_layer[0])
+    v[1] = (v[1] + 1) % P
+    p.fri_final_layer[0] = tuple(v)
+    assert not StarkVerifier(config=cfg).verify(p)
+
+
+def test_ext_mode_tampered_deep_value_rejected(ext_proof):
+    proof, cfg = ext_proof
+    p = copy.deepcopy(proof)
+    op = p.query_proofs[3].deep_opening
+    v = list(op.value)
+    v[2] = (v[2] + 1) % P
+    op.value = tuple(v)
+    assert not StarkVerifier(config=cfg).verify(p)
+
+
+def test_ext_mode_tampered_commitment_rejected(ext_proof):
+    proof, cfg = ext_proof
+    p = copy.deepcopy(proof)
+    c = bytearray(p.fri_commitments[0])
+    c[0] ^= 1
+    p.fri_commitments[0] = bytes(c)
+    assert not StarkVerifier(config=cfg).verify(p)
+
+
+def test_ext_mode_serialization_roundtrip(ext_proof):
+    proof, cfg = ext_proof
+    data = proof_mod.serialize(proof)
+    back = proof_mod.deserialize(data)
+    assert back.ext and back.t_z == proof.t_z
+    assert back.fri_final_layer == proof.fri_final_layer
+    assert StarkVerifier(config=cfg).verify(back)
+    assert proof_mod.serialize(back) == data
+
+
+def test_ext_mode_zk_different_blinding(ext_proof):
+    proof, cfg = ext_proof
+    p2 = StarkProver(make_trace(), config=cfg, seed=12).generate_proof()
+    assert StarkVerifier(config=cfg).verify(p2)
+    assert p2.t_z != proof.t_z  # fresh blinding => different openings

@@ -34,13 +34,15 @@ def _fib_column(n: int):
 
 def cmd_prove(args) -> int:
     from toyni_tpu import profiling, proof as proof_mod
+    from toyni_tpu.config import StarkConfig
     from toyni_tpu.prover import StarkProver
     from toyni_tpu.trace import ExecutionTrace
 
     t = ExecutionTrace()
     t.insert_column(_fib_column(args.rows))
+    cfg = StarkConfig(ext_challenges=args.ext)
     t0 = time.perf_counter()
-    proof = StarkProver(t, seed=args.seed).generate_proof()
+    proof = StarkProver(t, config=cfg, seed=args.seed).generate_proof()
     dt = time.perf_counter() - t0
     blob = proof_mod.serialize(proof)
     with open(args.out, "wb") as f:
@@ -57,8 +59,11 @@ def cmd_verify(args) -> int:
 
     with open(getattr(args, "in"), "rb") as f:
         proof = proof_mod.deserialize(f.read())
+    from toyni_tpu.config import StarkConfig
+
+    cfg = StarkConfig(ext_challenges=bool(proof.ext))
     t0 = time.perf_counter()
-    ok = StarkVerifier().verify(proof)
+    ok = StarkVerifier(config=cfg).verify(proof)
     print(f"verify: {'ACCEPT' if ok else 'REJECT'} ({time.perf_counter()-t0:.3f}s)")
     return 0 if ok else 1
 
@@ -105,6 +110,10 @@ def main(argv=None) -> int:
     pp.add_argument("--out", default="proof.bin")
     pp.add_argument("--seed", type=int, default=None)
     pp.add_argument("--profile", action="store_true")
+    pp.add_argument(
+        "--ext", action="store_true",
+        help="extension-field soundness mode (z, betas from F_p^4)",
+    )
     pp.set_defaults(fn=cmd_prove)
 
     pv = sub.add_parser("verify", help="verify a serialized proof")

@@ -24,9 +24,22 @@ from .field.babybear import P
 
 
 class Air(Protocol):
-    """Constraint system plugged into the generic prover/verifier."""
+    """Constraint system plugged into the generic prover/verifier.
+
+    Multi-column / multi-constraint AIRs (beyond the reference, which
+    hard-codes one column and one composed constraint): declare
+    `num_columns` k > 1 and the trace views t[shift] become (k, N) arrays on
+    device / k-tuples of scalars on host. Declare `num_constraints` > 1 and
+    the evaluators receive an extra `alphas` tuple of Fiat-Shamir challenges
+    (squeezed after the trace commitment) with which they must compose their
+    constraints into the single quotient numerator: C = sum_j alpha_j * C_j.
+    With both left at 1 the interface and transcript are exactly the
+    reference protocol's.
+    """
 
     num_shifts: int  # how many of T(x), T(gx), T(g^2 x), ... the AIR reads
+    num_columns: int = 1  # trace width k
+    num_constraints: int = 1  # >1 => random-linear composition via alphas
 
     def constraint_lde(
         self, t: Sequence[jnp.ndarray], x: jnp.ndarray, g: int, n: int
@@ -41,6 +54,11 @@ class Air(Protocol):
     def constraint_at(self, t: Sequence[int], z: int, g: int, n: int) -> int:
         """Same constraint at a single host scalar z, from the OOD openings
         t[k] = T(g^k z)."""
+        ...
+
+    def constraint_at_ext(self, t, z, g: int, n: int):
+        """Ext-mode variant: t[k] and z are F_p^4 scalars (4-tuples); used
+        when `StarkConfig.ext_challenges` draws z from the extension field."""
         ...
 
 
@@ -66,3 +84,58 @@ class FibonacciAir:
         b1 = (z - pow(g, n - 1, P)) % P
         b2 = (z - pow(g, n - 2, P)) % P
         return fib * b1 % P * b2 % P
+
+    def constraint_at_ext(self, t, z, g: int, n: int):
+        from .field import ext as extf
+
+        fib = extf.h_sub(t[2], extf.h_add(t[1], t[0]))
+        b1 = extf.h_sub(z, extf.h_from_base(pow(g, n - 1, P)))
+        b2 = extf.h_sub(z, extf.h_from_base(pow(g, n - 2, P)))
+        return extf.h_mul(extf.h_mul(fib, b1), b2)
+
+
+class PairFibonacciAir:
+    """Bundled two-column / two-constraint AIR: the Fibonacci recurrence in
+    register form. Columns (A, B) hold consecutive pairs; transitions
+        A(g x) = B(x),   B(g x) = A(x) + B(x)
+    each deactivated on the last row by the boundary factor (x - g^(n-1)),
+    composed with random alphas into one quotient numerator:
+        C = alpha_0 (A(gx) - B(x)) b(x) + alpha_1 (B(gx) - A(x) - B(x)) b(x).
+
+    Exercises every generic-AIR extension point: num_columns=2 (row-bundle
+    trace commitments), num_constraints=2 (alpha composition, split commit
+    phases), num_shifts=2 (only T(x), T(gx) are opened).
+    """
+
+    num_shifts = 2
+    num_columns = 2
+    num_constraints = 2
+
+    def constraint_lde(self, t, x, g: int, n: int, alphas):
+        a0, b0 = t[0][0], t[0][1]          # A(x), B(x) on the LDE grid
+        a1, b1 = t[1][0], t[1][1]          # A(gx), B(gx)
+        bdry = bb.sub(x, jnp.uint32(pow(g, n - 1, P)))
+        c1 = bb.mul(bb.sub(a1, b0), bdry)
+        c2 = bb.mul(bb.sub(b1, bb.add(a0, b0)), bdry)
+        # alphas are TRACED scalars (squeezed between device dispatches and
+        # fed in as program arguments), so broadcast-mul, not mul_const
+        return bb.add(bb.mul(c1, alphas[0]), bb.mul(c2, alphas[1]))
+
+    def constraint_at(self, t, z: int, g: int, n: int, alphas):
+        a0, b0 = t[0]
+        a1, b1 = t[1]
+        bdry = (z - pow(g, n - 1, P)) % P
+        c1 = (a1 - b0) % P * bdry % P
+        c2 = (b1 - a0 - b0) % P * bdry % P
+        return (alphas[0] * c1 + alphas[1] * c2) % P
+
+    @staticmethod
+    def generate_trace(n: int):
+        """(A, B) columns of n rows: A=fib(i), B=fib(i+1) in F_p."""
+        a, b = 1, 1
+        col_a, col_b = [], []
+        for _ in range(n):
+            col_a.append(a)
+            col_b.append(b)
+            a, b = b, (a + b) % P
+        return col_a, col_b

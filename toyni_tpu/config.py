@@ -22,6 +22,11 @@ class StarkConfig:
     blowup: int = 32
     # Coset shift for the LDE domain (src/fibonacci.rs:15-16)
     coset_shift: int = 7
+    # Extension-field soundness mode: draw z and the FRI betas from F_p^4
+    # (~124-bit challenge space). The reference ships the Ext building blocks
+    # and documents this intent (src/ext.rs:1-12) but its own pipeline stays
+    # base-field; False reproduces the reference protocol byte-for-byte.
+    ext_challenges: bool = False
 
     @property
     def mask_degree(self) -> int:

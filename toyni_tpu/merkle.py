@@ -159,8 +159,8 @@ LEAFLESS_MIN = 1 << 22
 
 
 @functools.lru_cache(maxsize=64)
-def _tree_builder(n_leaves: int, salted: bool):
-    """One jitted program per (leaf count, salted): leaf hashing + every
+def _tree_builder(n_leaves: int, salted: bool, ext: bool = False):
+    """One jitted program per (leaf count, salted, ext): leaf hashing + every
     level, a SINGLE device dispatch per tree build. Dispatch count is the
     scarce resource on a remote-attached device (~25 ms per round trip on
     this deployment's tunnel); compiles are amortized by the persistent
@@ -170,38 +170,42 @@ def _tree_builder(n_leaves: int, salted: bool):
     # only salted trees drop leaves (unsalted trees in this protocol are the
     # tiny final FRI layer, and the unsalted gather path assumes level 0)
     keep_leaves = n_leaves < LEAFLESS_MIN or not salted
+    leaf_salted = sha.hash_salted_leaves_ext if ext else sha.hash_salted_leaves
+    leaf_plain = sha.hash_unsalted_leaves_ext if ext else sha.hash_unsalted_leaves
     if salted:
         def f(values, salts_dev):
-            lv = _device_levels(sha.hash_salted_leaves(values, salts_dev))
+            lv = _device_levels(leaf_salted(values, salts_dev))
             return lv if keep_leaves else lv[1:]
     else:
         def f(values):
-            lv = _device_levels(sha.hash_unsalted_leaves(values))
+            lv = _device_levels(leaf_plain(values))
             return lv if keep_leaves else lv[1:]
     return jax.jit(f)
 
 
-def build_salted_device_tree(values: jnp.ndarray, salts) -> DeviceTree:
-    if _use_pallas(values) and values.shape[0] & (values.shape[0] - 1) == 0:
+def build_salted_device_tree(values: jnp.ndarray, salts, ext: bool = False) -> DeviceTree:
+    if (not ext and _use_pallas(values)
+            and values.shape[0] & (values.shape[0] - 1) == 0):
         from .ops import sha256_pallas as shp
 
         sw = shp.salts_to_words(np.asarray(salts, np.uint8))
         digests = shp.hash_salted_leaves_planar(values, jnp.asarray(sw))
         return DeviceTree(_device_levels_planar(digests), planar=True)
-    fn = _tree_builder(values.shape[0], True)
+    fn = _tree_builder(values.shape[0], True, ext)
     return DeviceTree(
         fn(values, jnp.asarray(salts)),
         has_leaf_level=values.shape[0] < LEAFLESS_MIN,
     )
 
 
-def build_unsalted_device_tree(values: jnp.ndarray) -> DeviceTree:
-    if _use_pallas(values) and values.shape[0] & (values.shape[0] - 1) == 0:
+def build_unsalted_device_tree(values: jnp.ndarray, ext: bool = False) -> DeviceTree:
+    if (not ext and _use_pallas(values)
+            and values.shape[0] & (values.shape[0] - 1) == 0):
         from .ops import sha256_pallas as shp
 
         digests = shp.hash_unsalted_leaves_planar(values)
         return DeviceTree(_device_levels_planar(digests), planar=True)
-    fn = _tree_builder(values.shape[0], False)
+    fn = _tree_builder(values.shape[0], False, ext)
     return DeviceTree(fn(values), has_leaf_level=True)
 
 

@@ -223,6 +223,113 @@ def hash_unsalted_leaves(values):
     return sha256_blocks(block[..., None, :])
 
 
+def _le8_words(v):
+    """One u32 field element -> (lo_be, hi_be): the two big-endian block words
+    holding its 8-byte little-endian encoding (hi bytes are zero)."""
+    lo = ((v & 0xFF) << 24) | (((v >> 8) & 0xFF) << 16) | (((v >> 16) & 0xFF) << 8) | ((v >> 24) & 0xFF)
+    return lo
+
+
+def hash_salted_leaves_ext(values, salts):
+    """SHA256(0x00 || salt16 || ext32LE) for (..., 4) u32 ext codeword lanes:
+    the hiding leaf of the extension-field soundness mode. Value encoding =
+    4 coefficient limbs, 8-byte LE each (matching ext.h_to_bytes /
+    src/ext.rs:81-89); 49-byte message, one block."""
+    v = values.astype(_U32)
+    if salts.dtype == jnp.uint8:
+        salts = pack_words(salts)
+    s0, s1, s2, s3 = (salts[..., k] for k in range(4))
+    z = jnp.zeros_like(s0)
+    limbs = [_le8_words(v[..., k]) for k in range(4)]
+    block = jnp.stack(
+        [
+            s0 >> 8,                                  # 0x00 tag + salt bytes
+            ((s0 & 0xFF) << 24) | (s1 >> 8),
+            ((s1 & 0xFF) << 24) | (s2 >> 8),
+            ((s2 & 0xFF) << 24) | (s3 >> 8),
+            ((s3 & 0xFF) << 24) | (limbs[0] >> 8),
+            ((limbs[0] & 0xFF) << 24),                # hi half of limb 0 is 0
+            (limbs[1] >> 8),
+            ((limbs[1] & 0xFF) << 24),
+            (limbs[2] >> 8),
+            ((limbs[2] & 0xFF) << 24),
+            (limbs[3] >> 8),
+            ((limbs[3] & 0xFF) << 24),
+            z + _U32(0x00800000),                     # 0x80 pad at byte 49
+            z, z,
+            z + _U32(392),                            # 49-byte message
+        ],
+        axis=-1,
+    )
+    return sha256_blocks(block[..., None, :])
+
+
+def hash_unsalted_leaves_ext(values):
+    """SHA256(0x00 || ext32LE): the public final-FRI-layer leaves of the
+    extension-field mode. 33-byte message, one block."""
+    v = values.astype(_U32)
+    z = jnp.zeros_like(v[..., 0])
+    limbs = [_le8_words(v[..., k]) for k in range(4)]
+    w = []
+    for k in range(4):
+        # tag/zero byte, then limb bytes 0-2; next word carries limb byte 3
+        w.append(limbs[k] >> 8)
+        w.append((limbs[k] & 0xFF) << 24)
+    w.append(z + _U32(0x00800000))                    # 0x80 pad at byte 33
+    block = jnp.stack(
+        w + [z] * 6 + [z + _U32(264)],                # 33-byte message
+        axis=-1,
+    )
+    return sha256_blocks(block[..., None, :])
+
+
+def hash_salted_leaves_multi(values, salts):
+    """SHA256(0x00 || salt16 || v_0 8LE || ... || v_{k-1} 8LE): the row-bundle
+    leaf of multi-column trace commitments — all k column values at one LDE
+    position commit in a single leaf. values: (k, N) u32; salts: (N, 4) u32
+    big-endian words (or (N, 16) u8). k=1 reproduces `hash_salted_leaves`
+    byte-for-byte. Message = 17 + 8k bytes; block words are composed
+    word-wise from the inputs (no byte-array intermediate — see module note).
+    """
+    kcols = values.shape[0]
+    v = values.astype(_U32)
+    if salts.dtype == jnp.uint8:
+        salts = pack_words(salts)
+    s = [salts[..., j] for j in range(4)]
+    z = jnp.zeros_like(s[0])
+    msg_len = 17 + 8 * kcols
+    nb = (msg_len + 9 + 63) // 64
+    bitlen = msg_len * 8
+    words = []
+    for wi in range(16 * nb):
+        acc = None
+        for t in range(4):
+            i = 4 * wi + t
+            sh = 24 - 8 * t
+            term = None
+            if 1 <= i <= 16:
+                j, bt = divmod(i - 1, 4)
+                term = ((s[j] >> (24 - 8 * bt)) & 0xFF) << sh
+            elif 17 <= i < msg_len:
+                c, bt = divmod(i - 17, 8)
+                if bt < 4:  # high 4 bytes of each 8-byte LE limb are zero
+                    term = ((v[c] >> (8 * bt)) & 0xFF) << sh
+            if term is not None:
+                acc = term if acc is None else (acc | term)
+        const = 0
+        if 4 * wi <= msg_len < 4 * wi + 4:  # 0x80 pad directly after message
+            const |= 0x80 << (24 - 8 * (msg_len - 4 * wi))
+        if wi == 16 * nb - 1:
+            const |= bitlen
+        if acc is None:
+            acc = (z + _U32(const)) if const else z
+        elif const:
+            acc = acc | _U32(const)
+        words.append(acc)
+    block = jnp.stack(words, axis=-1).reshape(*z.shape, nb, 16)
+    return sha256_blocks(block)
+
+
 def hash_nodes(left, right):
     """SHA256(0x01 || left || right) for (..., 8) u32 digest pairs
     (src/merkle.rs:117-123). 65-byte message -> two blocks."""

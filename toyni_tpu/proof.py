@@ -39,37 +39,74 @@ class QueryProof:
     trace_opening_gg: MerkleOpening
     quotient_opening: MerkleOpening
     fri_openings: list  # list[tuple[MerkleOpening, MerkleOpening]]
+    # Multi-column / custom-shift AIRs: one opening per shift, each carrying
+    # the k-tuple row bundle; the three fixed fields above are None.
+    trace_openings: list = None
 
 
 @dataclass
 class StarkProof:
-    """A complete STARK proof (src/fibonacci.rs:62-86)."""
+    """A complete STARK proof (src/fibonacci.rs:62-86).
+
+    In the extension-field soundness mode (`ext=True`): t_z/t_gz/t_ggz/q_z,
+    the final FRI layer, and the DEEP/FRI opening values are 4-tuples of ints
+    (F_p^4 elements); trace/quotient openings stay base-field ints."""
 
     trace_len: int
     lde_size: int
     trace_commitment: bytes
     quotient_commitment: bytes
-    t_z: int
-    t_gz: int
-    t_ggz: int
-    q_z: int
+    t_z: object  # int | ExtScalar
+    t_gz: object
+    t_ggz: object
+    q_z: object
     fri_commitments: list  # list[bytes]
-    fri_final_layer: list  # list[int]
+    fri_final_layer: list  # list[int] | list[ExtScalar]
     query_proofs: list  # list[QueryProof]
+    ext: bool = False
+    # Multi-column mode (num_columns > 1 or num_shifts != 3): OOD trace
+    # values as ood_trace[shift] = k-tuple; t_z/t_gz/t_ggz are None.
+    ood_trace: tuple = None
+    num_columns: int = 1
+    num_shifts: int = 3
 
 
-# ── serialization (wire format v1) ──────────────────────────────────────────
+# ── serialization (wire formats v1 / v2) ────────────────────────────────────
 #
-# All integers little-endian. Layout:
+# All integers little-endian. v1 layout (base-field proofs — the reference
+# protocol):
 #   magic "TSTK" | u16 version | u64 trace_len | u64 lde_size
 #   | 32B trace_commitment | 32B quotient_commitment
 #   | u64 t_z t_gz t_ggz q_z
 #   | u32 n_fri_commitments | 32B each
 #   | u32 final_len | u64 each
 #   | u32 n_queries | QueryProof each
+# v2 (ext_challenges mode) differs only in the scalar widths: OOD values and
+# final-layer entries are 32B (4 x u64 limbs, ext.h_to_bytes order), and each
+# opening's value is prefixed with a u32 limb count (1 = base, 4 = ext).
+
+# v3 (multi-column AIRs) adds u16 num_columns + u16 num_shifts to the header,
+# replaces the t_z/t_gz/t_ggz trio with ns*k shift-major OOD values, and
+# writes ns trace openings per query (limb-count-prefixed k-tuples).
 
 _MAGIC = b"TSTK"
 _VERSION = 1
+_VERSION_EXT = 2
+_VERSION_MULTI = 3
+
+
+def _w_scalar(buf, v, ext: bool):
+    if ext:
+        for limb in v:
+            _w_u64(buf, limb)
+    else:
+        _w_u64(buf, v)
+
+
+def _r_scalar(buf, ext: bool):
+    if ext:
+        return tuple(_r_u64(buf) for _ in range(4))
+    return _r_u64(buf)
 
 
 def _w_u16(buf, v): buf.write(struct.pack("<H", v))
@@ -80,9 +117,18 @@ def _r_u32(buf): return struct.unpack("<I", buf.read(4))[0]
 def _r_u64(buf): return struct.unpack("<Q", buf.read(8))[0]
 
 
-def _write_opening(buf, op: MerkleOpening):
+def _write_opening(buf, op: MerkleOpening, v2: bool = False):
     _w_u64(buf, op.index)
-    _w_u64(buf, op.value)
+    if v2:
+        if isinstance(op.value, tuple):
+            _w_u32(buf, len(op.value))
+            for limb in op.value:
+                _w_u64(buf, limb)
+        else:
+            _w_u32(buf, 1)
+            _w_u64(buf, op.value)
+    else:
+        _w_u64(buf, op.value)
     _w_u32(buf, len(op.salt))
     buf.write(op.salt)
     _w_u32(buf, len(op.proof.path))
@@ -91,9 +137,16 @@ def _write_opening(buf, op: MerkleOpening):
         buf.write(b"\x01" if pos else b"\x00")
 
 
-def _read_opening(buf) -> MerkleOpening:
+def _read_opening(buf, v2: bool = False) -> MerkleOpening:
     index = _r_u64(buf)
-    value = _r_u64(buf)
+    if v2:
+        nlimbs = _r_u32(buf)
+        if nlimbs > 1:
+            value = tuple(_r_u64(buf) for _ in range(nlimbs))
+        else:
+            value = _r_u64(buf)
+    else:
+        value = _r_u64(buf)
     salt = buf.read(_r_u32(buf))
     n = _r_u32(buf)
     path, position = [], []
@@ -104,56 +157,102 @@ def _read_opening(buf) -> MerkleOpening:
 
 
 def serialize(proof: StarkProof) -> bytes:
+    multi = proof.ood_trace is not None
+    v2 = proof.ext or multi  # limb-prefixed opening encoding
     buf = io.BytesIO()
     buf.write(_MAGIC)
-    _w_u16(buf, _VERSION)
+    version = _VERSION_MULTI if multi else (_VERSION_EXT if proof.ext else _VERSION)
+    _w_u16(buf, version)
     _w_u64(buf, proof.trace_len)
     _w_u64(buf, proof.lde_size)
+    if multi:
+        _w_u16(buf, proof.num_columns)
+        _w_u16(buf, proof.num_shifts)
     buf.write(proof.trace_commitment)
     buf.write(proof.quotient_commitment)
-    for v in (proof.t_z, proof.t_gz, proof.t_ggz, proof.q_z):
-        _w_u64(buf, v)
+    if multi:
+        for row in proof.ood_trace:
+            for v in row:
+                _w_u64(buf, v)
+        _w_u64(buf, proof.q_z)
+    else:
+        for v in (proof.t_z, proof.t_gz, proof.t_ggz, proof.q_z):
+            _w_scalar(buf, v, proof.ext)
     _w_u32(buf, len(proof.fri_commitments))
     for c in proof.fri_commitments:
         buf.write(c)
     _w_u32(buf, len(proof.fri_final_layer))
     for v in proof.fri_final_layer:
-        _w_u64(buf, v)
+        _w_scalar(buf, v, proof.ext)
     _w_u32(buf, len(proof.query_proofs))
     for qp in proof.query_proofs:
         _w_u64(buf, qp.index)
-        for op in (qp.deep_opening, qp.deep_opening_pair, qp.trace_opening,
-                   qp.trace_opening_g, qp.trace_opening_gg, qp.quotient_opening):
-            _write_opening(buf, op)
+        for op in (qp.deep_opening, qp.deep_opening_pair):
+            _write_opening(buf, op, v2)
+        if multi:
+            for op in qp.trace_openings:
+                _write_opening(buf, op, v2)
+        else:
+            for op in (qp.trace_opening, qp.trace_opening_g,
+                       qp.trace_opening_gg):
+                _write_opening(buf, op, v2)
+        _write_opening(buf, qp.quotient_opening, v2)
         _w_u32(buf, len(qp.fri_openings))
         for a, b in qp.fri_openings:
-            _write_opening(buf, a)
-            _write_opening(buf, b)
+            _write_opening(buf, a, v2)
+            _write_opening(buf, b, v2)
     return buf.getvalue()
 
 
 def deserialize(data: bytes) -> StarkProof:
     buf = io.BytesIO(data)
     assert buf.read(4) == _MAGIC, "bad magic"
-    assert _r_u16(buf) == _VERSION, "unsupported proof version"
+    version = _r_u16(buf)
+    assert version in (_VERSION, _VERSION_EXT, _VERSION_MULTI), \
+        "unsupported proof version"
+    ext = version == _VERSION_EXT
+    multi = version == _VERSION_MULTI
+    v2 = ext or multi
     trace_len = _r_u64(buf)
     lde_size = _r_u64(buf)
+    k = _r_u16(buf) if multi else 1
+    ns = _r_u16(buf) if multi else 3
     trace_commitment = buf.read(32)
     quotient_commitment = buf.read(32)
-    t_z, t_gz, t_ggz, q_z = (_r_u64(buf) for _ in range(4))
+    if multi:
+        ood_trace = tuple(
+            tuple(_r_u64(buf) for _ in range(k)) for _ in range(ns)
+        )
+        t_z = t_gz = t_ggz = None
+        q_z = _r_u64(buf)
+    else:
+        ood_trace = None
+        t_z, t_gz, t_ggz, q_z = (_r_scalar(buf, ext) for _ in range(4))
     fri_commitments = [buf.read(32) for _ in range(_r_u32(buf))]
-    fri_final_layer = [_r_u64(buf) for _ in range(_r_u32(buf))]
+    fri_final_layer = [_r_scalar(buf, ext) for _ in range(_r_u32(buf))]
     query_proofs = []
     for _ in range(_r_u32(buf)):
         index = _r_u64(buf)
-        ops = [_read_opening(buf) for _ in range(6)]
+        deep_a = _read_opening(buf, v2)
+        deep_b = _read_opening(buf, v2)
+        if multi:
+            trace_ops = [_read_opening(buf, v2) for _ in range(ns)]
+            t0 = tg = tgg = None
+        else:
+            trace_ops = None
+            t0, tg, tgg = (_read_opening(buf, v2) for _ in range(3))
+        quot = _read_opening(buf, v2)
         fri_openings = []
         for _ in range(_r_u32(buf)):
-            a = _read_opening(buf)
-            b = _read_opening(buf)
+            a = _read_opening(buf, v2)
+            b = _read_opening(buf, v2)
             fri_openings.append((a, b))
-        query_proofs.append(QueryProof(index, *ops, fri_openings))
+        query_proofs.append(
+            QueryProof(index, deep_a, deep_b, t0, tg, tgg, quot,
+                       fri_openings, trace_openings=trace_ops)
+        )
     return StarkProof(
         trace_len, lde_size, trace_commitment, quotient_commitment,
         t_z, t_gz, t_ggz, q_z, fri_commitments, fri_final_layer, query_proofs,
+        ext=ext, ood_trace=ood_trace, num_columns=k, num_shifts=ns,
     )

@@ -79,7 +79,8 @@ _DEFAULT_AIR = FibonacciAir()
 
 
 @functools.lru_cache(maxsize=8)
-def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air):
+def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
+               ext: bool = False):
     """Jitted device phases (one dispatch each) for trace length n.
 
     On a remote-attached device every dispatch costs a ~25 ms round trip, so
@@ -198,7 +199,7 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air):
         paths = jnp.concatenate([sib_digest[:, None, :], rest], axis=1)
         return vals, paths, jnp.take(salts, idx, axis=0)
 
-    return dict(
+    fns = dict(
         commit=jax.jit(commit),
         ood=jax.jit(ood4),
         deep=jax.jit(deep),
@@ -209,6 +210,189 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air):
         x=tables["x"],
         tables=tables,
     )
+
+    # ── generic multi-column / multi-constraint path ──────────────────────
+    # Used when the AIR declares k columns, nc composed constraints, or a
+    # shift count other than 3. The commit phase splits in two dispatches
+    # (trace, then quotient) because the composition alphas are Fiat-Shamir
+    # challenges squeezed from the trace root.
+    k = getattr(air, "num_columns", 1)
+    nc = getattr(air, "num_constraints", 1)
+    ns = air.num_shifts
+    multi = k > 1 or nc > 1 or ns != 3
+    if multi:
+
+        def commit_trace(trace_cols, r_masks, trace_salts, tb):
+            """trace_cols (k, n), r_masks (k, m) -> thats (k, L), LDE (k, N),
+            one row-bundle tree (leaf = salt || v_0 || ... || v_{k-1})."""
+            thats, ldes = [], []
+            for c in range(k):
+                t_coeffs = bb.mul_const(
+                    apply_ntt(trace_cols[c], tb["trace_intt"], n), n_inv
+                )
+                t_pad = jnp.pad(t_coeffs, (0, L - n))
+                r_low = jnp.pad(r_masks[c], (0, L - m))
+                r_shift = jnp.pad(r_masks[c], (n, L - m - n))
+                that = bb.add(t_pad, bb.sub(r_shift, r_low))
+                padded = jnp.pad(that, (0, N - L))
+                ldes.append(
+                    apply_ntt(bb.mont_mul(padded, tb["shift_fwd"]), tb["fft"], N)
+                )
+                thats.append(that)
+            that_k = jnp.stack(thats)
+            lde_k = jnp.stack(ldes)
+            leaf = sha.hash_salted_leaves_multi(lde_k, trace_salts)
+            return dict(
+                that=that_k, trace_lde=lde_k,
+                trace_levels=_device_levels(leaf),
+            )
+
+        def commit_quot(trace_lde, quot_salts, alphas, tb):
+            t_views = [
+                jnp.roll(trace_lde, -s * blowup, axis=1) for s in range(ns)
+            ]
+            if k == 1:
+                t_views = [v[0] for v in t_views]
+            if nc > 1:
+                c_evals = air.constraint_lde(t_views, tb["x"], g, n, alphas)
+            else:
+                c_evals = air.constraint_lde(t_views, tb["x"], g, n)
+            q_evals = bb.mont_mul(c_evals, tb["zh_tile"])
+            q_coeffs = bb.mont_mul(
+                bb.mul_const(apply_ntt(q_evals, tb["ifft"], N), N_inv),
+                tb["shift_bwd"],
+            )
+            return dict(
+                q_evals=q_evals,
+                q_coeffs=q_coeffs,
+                quot_levels=_device_levels(
+                    sha.hash_salted_leaves(q_evals, quot_salts)
+                ),
+            )
+
+        def ood_multi(that, q_coeffs, pts):
+            """pts = (ns,) points [z, gz, ...]; returns (ns*k + 1,) values,
+            shift-major column-minor, quotient-at-z last."""
+            rows = []
+            for s in range(ns):
+                pw = bb.powers_traced(pts[s], L, mont=True)
+                for c in range(k):
+                    rows.append(bb.sum_mod(bb.mont_mul(that[c], pw)))
+            pw_n = bb.powers_traced(pts[0], N, mont=True)
+            rows.append(bb.sum_mod(bb.mont_mul(q_coeffs, pw_n)))
+            return jnp.stack(rows)
+
+        def deep_multi(trace_lde, q_evals, x, ood, z):
+            num = bb.sub(q_evals, ood[ns * k])
+            for s in range(ns):
+                rolled = jnp.roll(trace_lde, -s * blowup, axis=1)
+                for c in range(k):
+                    num = bb.add(num, bb.sub(rolled[c], ood[s * k + c]))
+            return bb.mul(num, bb.inv(bb.sub(x, z)))
+
+        def gather_salted_multi(levels, values, salts, idx):
+            """values (k, N): open the k-value row bundle at each index."""
+            vals = jnp.take(values, idx, axis=1).T  # (Q, k)
+            return vals, extract_paths(levels, idx), jnp.take(salts, idx, axis=0)
+
+        def gather_salted_leafless_multi(levels, values, salts, idx):
+            vals = jnp.take(values, idx, axis=1).T
+            sib = idx ^ 1
+            sib_digest = sha.hash_salted_leaves_multi(
+                jnp.take(values, sib, axis=1), jnp.take(salts, sib, axis=0)
+            )
+            rest = extract_paths(levels, idx >> 1)
+            paths = jnp.concatenate([sib_digest[:, None, :], rest], axis=1)
+            return vals, paths, jnp.take(salts, idx, axis=0)
+
+        fns.update(
+            commit_trace=jax.jit(commit_trace),
+            commit_quot=jax.jit(commit_quot),
+            ood_multi=jax.jit(ood_multi),
+            deep_multi=jax.jit(deep_multi),
+            gather_salted_multi=jax.jit(gather_salted_multi),
+            gather_salted_leafless_multi=jax.jit(gather_salted_leafless_multi),
+        )
+
+    if not ext:
+        return fns
+
+    # ── extension-field soundness mode: z and betas live in F_p^4 ─────────
+    from .field import ext as extf
+    from .ops.fri import fri_fold_ext
+
+    def ood4_ext(that, q_coeffs, z4, gz4, ggz4):
+        return jnp.stack(
+            [
+                extf.eval_poly_base_coeffs(that, z4),
+                extf.eval_poly_base_coeffs(that, gz4),
+                extf.eval_poly_base_coeffs(that, ggz4),
+                extf.eval_poly_base_coeffs(q_coeffs, z4),
+            ]
+        )  # (4, 4): rows t_z, t_gz, t_ggz, q_z
+
+    def deep_ext(trace_lde, q_evals, x, ood, z4):
+        # numerator = (base openings sum) - (ext OOD sum), an ext vector whose
+        # base coefficient carries all the base-field work
+        base_sum = bb.add(
+            bb.add(q_evals, jnp.roll(trace_lde, -2 * blowup)),
+            bb.add(jnp.roll(trace_lde, -blowup), trace_lde),
+        )
+        ood_sum = bb.sum_mod(ood, axis=0)  # (4,) ext scalar
+        zero = jnp.zeros_like(base_sum)
+        num = jnp.stack(
+            [
+                bb.sub(base_sum, ood_sum[0]),
+                bb.sub(zero, ood_sum[1]),
+                bb.sub(zero, ood_sum[2]),
+                bb.sub(zero, ood_sum[3]),
+            ],
+            axis=-1,
+        )
+        x_minus_z = jnp.stack(
+            [
+                bb.sub(x, z4[0]),
+                bb.sub(zero, z4[1]),
+                bb.sub(zero, z4[2]),
+                bb.sub(zero, z4[3]),
+            ],
+            axis=-1,
+        )
+        return extf.mul(num, extf.inv_fast(x_minus_z))
+
+    def fold_ext(current, xs_inv, beta4):
+        half = current.shape[0] // 2
+        folded = fri_fold_ext(current, xs_inv[:half], beta4)
+        return folded, bb.mont_mul(xs_inv[:half], xs_inv[:half])
+
+    def gather_ext(levels, values, idx):
+        return jnp.take(values, idx, axis=0), extract_paths(levels, idx)
+
+    def gather_salted_ext(levels, values, salts, idx):
+        vals = jnp.take(values, idx, axis=0)
+        return vals, extract_paths(levels, idx), jnp.take(salts, idx, axis=0)
+
+    def gather_salted_leafless_ext(levels, values, salts, idx):
+        from .ops import sha256 as sha
+
+        vals = jnp.take(values, idx, axis=0)
+        sib = idx ^ 1
+        sib_digest = sha.hash_salted_leaves_ext(
+            jnp.take(values, sib, axis=0), jnp.take(salts, sib, axis=0)
+        )
+        rest = extract_paths(levels, idx >> 1)
+        paths = jnp.concatenate([sib_digest[:, None, :], rest], axis=1)
+        return vals, paths, jnp.take(salts, idx, axis=0)
+
+    fns.update(
+        ood_ext=jax.jit(ood4_ext),
+        deep_ext=jax.jit(deep_ext),
+        fold_ext=jax.jit(fold_ext),
+        gather_ext=jax.jit(gather_ext),
+        gather_salted_ext=jax.jit(gather_salted_ext),
+        gather_salted_leafless_ext=jax.jit(gather_salted_leafless_ext),
+    )
+    return fns
 
 
 class StarkProver:
@@ -237,6 +421,273 @@ class StarkProver:
         key = jax.random.PRNGKey(int(self.rng.integers(0, 2**63)))
         return jax.random.bits(key, (n, 4), dtype=jnp.uint32)
 
+    def _fri_phase(self, fns, d_evals, transcript, final_size, N, ext):
+        """FRI folding with Merkle commits (fibonacci.rs:200-247); shared by
+        the reference-protocol and multi-column paths. Returns
+        (layers, trees, salts, commitments, final_layer_host)."""
+        cfg = self.config
+        shifted = Domain.new(N).get_coset(cfg.coset_shift)
+        fri_layers = [d_evals]
+        fri_trees: list[DeviceTree] = []
+        fri_salts: list = []
+        fri_commitments: list = []
+
+        salts0 = self._salts(N)
+        tree0 = build_salted_device_tree(d_evals, salts0, ext=ext)
+        root0 = tree0.root()
+        transcript.absorb_commitment(root0)
+        fri_commitments.append(root0)
+        fri_trees.append(tree0)
+        fri_salts.append(salts0)
+
+        xs_inv = _xs_inv0_dev(N, cfg.coset_shift, shifted.omega)
+        current = d_evals
+        while current.shape[0] > final_size:
+            profiling_phase = profiling.phase(f"fri_fold_{current.shape[0]}")
+            profiling_phase.__enter__()
+            if ext:
+                beta = transcript.squeeze_ext_challenge()
+                current, xs_inv = fns["fold_ext"](
+                    current, xs_inv, jnp.asarray(beta, jnp.uint32)
+                )
+            else:
+                beta = transcript.squeeze_challenge()
+                current, xs_inv = fns["fold"](current, xs_inv, jnp.uint32(beta))
+
+            fri_layers.append(current)
+            if current.shape[0] == final_size:
+                tree = build_unsalted_device_tree(current, ext=ext)
+                salts = None
+            else:
+                salts = self._salts(current.shape[0])
+                tree = build_salted_device_tree(current, salts, ext=ext)
+            root = tree.root()
+            transcript.absorb_commitment(root)
+            fri_commitments.append(root)
+            fri_trees.append(tree)
+            fri_salts.append(salts)
+            profiling_phase.__exit__(None, None, None)
+
+        if ext:
+            final = [
+                tuple(int(v) for v in row)
+                for row in np.asarray(current, np.uint64)
+            ]
+        else:
+            final = [int(v) for v in np.asarray(current, np.uint64)]
+        return fri_layers, fri_trees, fri_salts, fri_commitments, final
+
+    def _generate_proof_multi(self, fns, k, nc, ns) -> StarkProof:
+        """Generic-AIR path: k trace columns in one row-bundle commitment,
+        nc constraints composed with Fiat-Shamir alphas (squeezed from the
+        trace root, so the commit phase is two dispatches), ns shifted
+        openings per query. With (k, nc, ns) = (1, 1, 3) the transcript
+        matches the reference protocol exactly — this path exists for the
+        shapes the reference cannot express."""
+        cfg = self.config
+        n = self.trace.num_rows
+        N = n * cfg.blowup
+        domain = Domain.new(n)
+        g = domain.group_gen()
+        B = cfg.blowup
+        m = cfg.mask_degree
+
+        assert len(self.trace.columns) == k, (
+            f"AIR declares {k} columns, trace has {len(self.trace.columns)}"
+        )
+
+        # ── commit trace (k columns, one tree) ────────────────────────────
+        with profiling.phase("commit_trace"):
+            r_masks = jnp.asarray(
+                self.rng.integers(0, P, (k, m), dtype=np.uint64).astype(np.uint32)
+            )
+            trace_cols = jnp.asarray(
+                np.stack(self.trace.columns).astype(np.uint32)
+            )
+            trace_salts = self._salts(N)
+            quot_salts = self._salts(N)
+            out1 = fns["commit_trace"](
+                trace_cols, r_masks, trace_salts, fns["tables"]
+            )
+            that = out1["that"]
+            trace_lde = out1["trace_lde"]
+            trace_tree = DeviceTree(out1["trace_levels"])
+            trace_root = trace_tree.root()
+
+        transcript = Transcript()
+        transcript.absorb_commitment(trace_root)
+        alphas = (
+            tuple(transcript.squeeze_challenge() for _ in range(nc))
+            if nc > 1
+            else ()
+        )
+
+        # ── constraint + quotient commit (alphas are transcript outputs) ──
+        with profiling.phase("commit_quot"):
+            out2 = fns["commit_quot"](
+                trace_lde, quot_salts,
+                jnp.asarray(np.array(alphas, np.uint32)), fns["tables"],
+            )
+            q_evals = out2["q_evals"]
+            q_coeffs = out2["q_coeffs"]
+            quotient_tree = DeviceTree(out2["quot_levels"])
+            quotient_root = quotient_tree.root()
+        transcript.absorb_commitment(quotient_root)
+
+        # ── z, OOD openings (shift-major, column-minor), sanity ───────────
+        z = derive_z(transcript, N, cfg.coset_shift)
+        pts = np.array([z * pow(g, s, P) % P for s in range(ns)], np.uint32)
+        with profiling.phase("ood_evals"):
+            ood_vec = fns["ood_multi"](that, q_coeffs, jnp.asarray(pts))
+            ood_np = np.asarray(ood_vec, np.uint64)
+        ood_trace = tuple(
+            tuple(int(ood_np[s * k + c]) for c in range(k)) for s in range(ns)
+        )
+        q_z = int(ood_np[ns * k])
+
+        t_scalars = [
+            ood_trace[s] if k > 1 else ood_trace[s][0] for s in range(ns)
+        ]
+        if nc > 1:
+            c_z = self.air.constraint_at(t_scalars, z, g, n, alphas)
+        else:
+            c_z = self.air.constraint_at(t_scalars, z, g, n)
+        z_z = domain.eval_vanishing(z)
+        if c_z != q_z * z_z % P:
+            raise ValueError("Constraint check at z failed — invalid trace")
+
+        for row in ood_trace:
+            for v in row:
+                transcript.absorb_field(v)
+        transcript.absorb_field(q_z)
+
+        # ── DEEP + FRI ────────────────────────────────────────────────────
+        with profiling.phase("deep"):
+            d_evals = fns["deep_multi"](
+                trace_lde, q_evals, fns["x"], ood_vec, jnp.uint32(z)
+            )
+        final_size = cfg.final_layer_size(n)
+        fri_layers, fri_trees, fri_salts, fri_commitments, fri_final_layer = (
+            self._fri_phase(fns, d_evals, transcript, final_size, N, False)
+        )
+
+        # ── query phase ───────────────────────────────────────────────────
+        half0 = N // 2
+        query_indices = transcript.squeeze_indices(cfg.num_queries, half0)
+        num_folds = len(fri_layers) - 1
+
+        trace_idx = []
+        for qi in query_indices:
+            trace_idx += [(qi + s * B) % N for s in range(ns)]
+        quot_idx = list(query_indices)
+        deep_idx = []
+        for qi in query_indices:
+            deep_idx += [qi, qi + half0]
+        fri_idx = [[] for _ in range(1, num_folds)]
+        for qi in query_indices:
+            idx = qi
+            for li in range(1, num_folds):
+                half = fri_layers[li].shape[0] // 2
+                idx = idx % half
+                fri_idx[li - 1] += [idx, idx + half]
+
+        def gathered(fn_name, tree, values, indices, salts):
+            iarr = jnp.asarray(np.array(indices, np.int32))
+            return fns[fn_name](tuple(tree.levels), values, salts, iarr)
+
+        t_iarr = jnp.asarray(np.array(trace_idx, np.int32))
+        if trace_tree.has_leaf_level:
+            tr_pend = fns["gather_salted_multi"](
+                tuple(trace_tree.levels), trace_lde, trace_salts, t_iarr
+            )
+        else:
+            tr_pend = fns["gather_salted_leafless_multi"](
+                tuple(trace_tree.levels), trace_lde, trace_salts, t_iarr
+            )
+        q_pend = gathered("gather_salted", quotient_tree, q_evals, quot_idx,
+                          quot_salts)
+        d_name = (
+            "gather_salted" if fri_trees[0].has_leaf_level
+            else "gather_salted_leafless"
+        )
+        d_pend = gathered(d_name, fri_trees[0], fri_layers[0], deep_idx,
+                          fri_salts[0])
+        f_pend = [
+            gathered("gather_salted", fri_trees[li], fri_layers[li],
+                     fri_idx[li - 1], fri_salts[li])
+            for li in range(1, num_folds)
+        ]
+
+        def materialize(tree, indices, vps):
+            v, p, s = vps
+            vals = np.asarray(v, np.uint64)
+            paths = np.asarray(p, np.uint32)
+            proofs = openings_from_paths(indices, paths, tree.depth)
+            s_np = np.asarray(s, np.uint64) if s is not None else None
+            return vals, proofs, s_np
+
+        tr_vals, tr_proofs, tr_salts_np = materialize(trace_tree, trace_idx, tr_pend)
+        q_vals, q_proofs, q_salts_np = materialize(quotient_tree, quot_idx, q_pend)
+        d_vals, d_proofs, d_salts_np = materialize(fri_trees[0], deep_idx, d_pend)
+        fri_done = [
+            materialize(fri_trees[li], fri_idx[li - 1], f_pend[li - 1])
+            for li in range(1, num_folds)
+        ]
+
+        def mk_open(indices, vals, proofs, salts_np, j):
+            salt = (
+                b"".join(int(w).to_bytes(4, "big") for w in salts_np[j])
+                if salts_np is not None
+                else b""
+            )
+            v = vals[j]
+            value = tuple(int(x) for x in v) if np.ndim(v) else int(v)
+            return MerkleOpening(indices[j], value, proofs[j], salt)
+
+        query_proofs = []
+        for q, qi in enumerate(query_indices):
+            fri_openings = []
+            for li in range(1, num_folds):
+                vals, proofs, g_salts = fri_done[li - 1]
+                fri_openings.append(
+                    (mk_open(fri_idx[li - 1], vals, proofs, g_salts, 2 * q),
+                     mk_open(fri_idx[li - 1], vals, proofs, g_salts, 2 * q + 1))
+                )
+            trace_ops = [
+                mk_open(trace_idx, tr_vals, tr_proofs, tr_salts_np, ns * q + s)
+                for s in range(ns)
+            ]
+            query_proofs.append(
+                QueryProof(
+                    index=qi,
+                    deep_opening=mk_open(deep_idx, d_vals, d_proofs, d_salts_np, 2 * q),
+                    deep_opening_pair=mk_open(deep_idx, d_vals, d_proofs, d_salts_np, 2 * q + 1),
+                    trace_opening=None,
+                    trace_opening_g=None,
+                    trace_opening_gg=None,
+                    quotient_opening=mk_open(quot_idx, q_vals, q_proofs, q_salts_np, q),
+                    fri_openings=fri_openings,
+                    trace_openings=trace_ops,
+                )
+            )
+
+        return StarkProof(
+            trace_len=n,
+            lde_size=N,
+            trace_commitment=trace_root,
+            quotient_commitment=quotient_root,
+            t_z=None,
+            t_gz=None,
+            t_ggz=None,
+            q_z=q_z,
+            fri_commitments=fri_commitments,
+            fri_final_layer=fri_final_layer,
+            query_proofs=query_proofs,
+            ood_trace=ood_trace,
+            num_columns=k,
+            num_shifts=ns,
+        )
+
     # ── main entry point ───────────────────────────────────────────────────
 
     def generate_proof(self) -> StarkProof:
@@ -247,9 +698,22 @@ class StarkProver:
         shifted = Domain.new(N).get_coset(cfg.coset_shift)
         g = domain.group_gen()
 
+        ext = cfg.ext_challenges
         fns = _phase_fns(
-            n, N, n + cfg.mask_degree, cfg.blowup, cfg.coset_shift, self.air
+            n, N, n + cfg.mask_degree, cfg.blowup, cfg.coset_shift, self.air,
+            ext,
         )
+        k = getattr(self.air, "num_columns", 1)
+        nc = getattr(self.air, "num_constraints", 1)
+        ns = self.air.num_shifts
+        multi = "commit_trace" in fns
+        if multi and ext:
+            raise NotImplementedError(
+                "ext_challenges with multi-column/multi-constraint AIRs is "
+                "not supported yet"
+            )
+        if multi:
+            return self._generate_proof_multi(fns, k, nc, ns)
 
         # ── 1.+2. commit phases (fibonacci.rs:110-154), one fused program ─
         with profiling.phase("commit_core"):
@@ -277,74 +741,74 @@ class StarkProver:
         transcript = Transcript()
         transcript.absorb_commitment(trace_root)
         transcript.absorb_commitment(quotient_root)
-        z = derive_z(transcript, N, cfg.coset_shift)
 
-        # ── 4. OOD evaluations (fibonacci.rs:163-183) ─────────────────────
-        with profiling.phase("ood_evals"):
-            ood_vec = fns["ood"](
-                that, q_coeffs,
-                jnp.uint32(z), jnp.uint32(g * z % P), jnp.uint32(g * g % P * z % P),
-            )
-            ood_np = np.asarray(ood_vec, np.uint64)
-            t_z, t_gz, t_ggz, q_z = (int(v) for v in ood_np)
+        if ext:
+            from .field import ext as extf
+            from .transcript import derive_z_ext
 
-        # Sanity: the constraint relation holds at z (the prover-side check
-        # that fails loudly on an invalid trace, fibonacci.rs:169-177).
-        c_z = self.air.constraint_at([t_z, t_gz, t_ggz], z, g, n)
-        z_z = domain.eval_vanishing(z)
-        if c_z != q_z * z_z % P:
-            raise ValueError("Constraint check at z failed — invalid trace")
+            z = derive_z_ext(transcript, N, cfg.coset_shift)
+            gz = extf.h_mul_base(z, g)
+            ggz = extf.h_mul_base(z, g * g % P)
 
-        for v in (t_z, t_gz, t_ggz, q_z):
-            transcript.absorb_field(v)
+            with profiling.phase("ood_evals"):
+                ood_vec = fns["ood_ext"](
+                    that, q_coeffs,
+                    jnp.asarray(z, jnp.uint32),
+                    jnp.asarray(gz, jnp.uint32),
+                    jnp.asarray(ggz, jnp.uint32),
+                )
+                ood_np = np.asarray(ood_vec, np.uint64)
+                t_z, t_gz, t_ggz, q_z = (
+                    tuple(int(v) for v in row) for row in ood_np
+                )
 
-        # ── 5. DEEP polynomial (fibonacci.rs:185-198) ─────────────────────
-        # All four quotients share the denominator (x - z); sum numerators
-        # then one batched inversion pass.
-        with profiling.phase("deep"):
-            d_evals = fns["deep"](trace_lde, q_evals, x, ood_vec, jnp.uint32(z))
+            c_z = self.air.constraint_at_ext([t_z, t_gz, t_ggz], z, g, n)
+            z_z = extf.h_sub(extf.h_pow(z, n), extf.H_ONE)
+            if c_z != extf.h_mul(q_z, z_z):
+                raise ValueError("Constraint check at z failed — invalid trace")
+
+            for v in (t_z, t_gz, t_ggz, q_z):
+                transcript.absorb_ext(v)
+
+            with profiling.phase("deep"):
+                d_evals = fns["deep_ext"](
+                    trace_lde, q_evals, x, ood_vec, jnp.asarray(z, jnp.uint32)
+                )
+        else:
+            z = derive_z(transcript, N, cfg.coset_shift)
+
+            # ── 4. OOD evaluations (fibonacci.rs:163-183) ─────────────────
+            with profiling.phase("ood_evals"):
+                ood_vec = fns["ood"](
+                    that, q_coeffs,
+                    jnp.uint32(z), jnp.uint32(g * z % P), jnp.uint32(g * g % P * z % P),
+                )
+                ood_np = np.asarray(ood_vec, np.uint64)
+                t_z, t_gz, t_ggz, q_z = (int(v) for v in ood_np)
+
+            # Sanity: the constraint relation holds at z (the prover-side
+            # check that fails loudly on an invalid trace, fibonacci.rs:169-177).
+            c_z = self.air.constraint_at([t_z, t_gz, t_ggz], z, g, n)
+            z_z = domain.eval_vanishing(z)
+            if c_z != q_z * z_z % P:
+                raise ValueError("Constraint check at z failed — invalid trace")
+
+            for v in (t_z, t_gz, t_ggz, q_z):
+                transcript.absorb_field(v)
+
+            # ── 5. DEEP polynomial (fibonacci.rs:185-198) ─────────────────
+            # All four quotients share the denominator (x - z); sum numerators
+            # then one batched inversion pass.
+            with profiling.phase("deep"):
+                d_evals = fns["deep"](trace_lde, q_evals, x, ood_vec, jnp.uint32(z))
 
         # ── 6. FRI folding with Merkle commits (fibonacci.rs:200-247) ─────
+        # (inverse x-coordinates come from a closed-form power table squared
+        # between layers — no Fermat inversions in the fold loop)
         final_size = cfg.final_layer_size(n)
-        fri_layers = [d_evals]
-        fri_trees: list[DeviceTree] = []
-        fri_salts: list[np.ndarray | None] = []
-        fri_commitments: list[bytes] = []
-
-        salts0 = self._salts(N)
-        tree0 = build_salted_device_tree(d_evals, salts0)
-        root0 = tree0.root()
-        transcript.absorb_commitment(root0)
-        fri_commitments.append(root0)
-        fri_trees.append(tree0)
-        fri_salts.append(salts0)
-
-        # inverse x-coordinates (Montgomery form): x_i^-1 = h^-1 * omega^-i,
-        # squared between layers — no Fermat inversions in the fold loop.
-        xs_inv = _xs_inv0_dev(N, cfg.coset_shift, shifted.omega)
-
-        current = d_evals
-        while current.shape[0] > final_size:
-            beta = transcript.squeeze_challenge()
-            profiling_phase = profiling.phase(f"fri_fold_{current.shape[0]}")
-            profiling_phase.__enter__()
-            current, xs_inv = fns["fold"](current, xs_inv, jnp.uint32(beta))
-
-            fri_layers.append(current)
-            if current.shape[0] == final_size:
-                tree = build_unsalted_device_tree(current)
-                salts = None
-            else:
-                salts = self._salts(current.shape[0])
-                tree = build_salted_device_tree(current, salts)
-            root = tree.root()
-            transcript.absorb_commitment(root)
-            fri_commitments.append(root)
-            fri_trees.append(tree)
-            fri_salts.append(salts)
-            profiling_phase.__exit__(None, None, None)
-
-        fri_final_layer = [int(v) for v in np.asarray(current, np.uint64)]
+        fri_layers, fri_trees, fri_salts, fri_commitments, fri_final_layer = (
+            self._fri_phase(fns, d_evals, transcript, final_size, N, ext)
+        )
 
         # ── 7. query phase (fibonacci.rs:249-295) ─────────────────────────
         # All openings are device gathers: sibling paths and opened values
@@ -373,23 +837,24 @@ class StarkProver:
                 idx = idx % half
                 fri_idx[li - 1] += [idx, idx + half]
 
-        def dispatch(tree, values, indices, salts):
+        def dispatch(tree, values, indices, salts, is_ext=False):
             """Enqueue the device gathers (no host sync)."""
             iarr = jnp.asarray(np.array(indices, np.int32))
+            sfx = "_ext" if is_ext else ""
             if tree.planar:
                 v = jnp.take(values, iarr)
                 p = extract_paths(tree.levels, iarr, planar=True)
                 s = jnp.take(salts, iarr, axis=0) if salts is not None else None
             elif salts is not None and not tree.has_leaf_level:
-                v, p, s = fns["gather_salted_leafless"](
+                v, p, s = fns["gather_salted_leafless" + sfx](
                     tuple(tree.levels), values, salts, iarr
                 )
             elif salts is not None:
-                v, p, s = fns["gather_salted"](
+                v, p, s = fns["gather_salted" + sfx](
                     tuple(tree.levels), values, salts, iarr
                 )
             else:
-                v, p = fns["gather"](tuple(tree.levels), values, iarr)
+                v, p = fns["gather" + sfx](tuple(tree.levels), values, iarr)
                 s = None
             return v, p, s
 
@@ -405,12 +870,14 @@ class StarkProver:
         pend = [
             (trace_tree, trace_idx, dispatch(trace_tree, trace_lde, trace_idx, trace_salts)),
             (quotient_tree, quot_idx, dispatch(quotient_tree, q_evals, quot_idx, quot_salts)),
-            (fri_trees[0], deep_idx, dispatch(fri_trees[0], fri_layers[0], deep_idx, fri_salts[0])),
+            (fri_trees[0], deep_idx,
+             dispatch(fri_trees[0], fri_layers[0], deep_idx, fri_salts[0], ext)),
         ]
         for li in range(1, num_folds):
             pend.append(
                 (fri_trees[li], fri_idx[li - 1],
-                 dispatch(fri_trees[li], fri_layers[li], fri_idx[li - 1], fri_salts[li]))
+                 dispatch(fri_trees[li], fri_layers[li], fri_idx[li - 1],
+                          fri_salts[li], ext))
             )
         done = [materialize(t, idx, vps) for (t, idx, vps) in pend]
         tr_vals, tr_proofs, tr_salts = done[0]
@@ -424,7 +891,9 @@ class StarkProver:
                 if salts_np is not None
                 else b""
             )
-            return MerkleOpening(indices[k], int(vals[k]), proofs[k], salt)
+            v = vals[k]
+            value = tuple(int(x) for x in v) if np.ndim(v) else int(v)
+            return MerkleOpening(indices[k], value, proofs[k], salt)
 
         query_proofs = []
         for q, qi in enumerate(query_indices):
@@ -460,4 +929,5 @@ class StarkProver:
             fri_commitments=fri_commitments,
             fri_final_layer=fri_final_layer,
             query_proofs=query_proofs,
+            ext=ext,
         )

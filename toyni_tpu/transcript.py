@@ -97,3 +97,21 @@ def derive_z(transcript: Transcript, lde_size: int, shift: int) -> int:
         zn = pow(z, lde_size, P)
         if zn != 1 and zn != h_n:
             return z
+
+
+def derive_z_ext(transcript: Transcript, lde_size: int, shift: int) -> extf.ExtScalar:
+    """Ext-challenge analog of `derive_z` (the extension-field soundness mode;
+    the reference documents the intent at src/ext.rs:1-12 but its pipeline
+    draws z from the base field). The forbidden sets — both LDE domains and
+    their g/g² translates — live entirely in the base field, so an ext sample
+    can only collide when its three high coefficients are zero; the rejection
+    test is then the same two power checks as the base path. Every rejected
+    sample ratchets the transcript, mirroring fibonacci.rs:389-398."""
+    h_n = pow(shift, lde_size, P)
+    while True:
+        z = transcript.squeeze_ext_challenge()
+        if z[1] == 0 and z[2] == 0 and z[3] == 0:
+            zn = pow(z[0], lde_size, P)
+            if zn == 1 or zn == h_n:
+                continue
+        return z

@@ -15,21 +15,55 @@ from __future__ import annotations
 
 from .air import Air, FibonacciAir
 from .config import DEFAULT_CONFIG, StarkConfig
+from .field import ext as extf
 from .field.babybear import P
 from .merkle import host_tree_root, verify_merkle_proof
 from .proof import MerkleOpening, StarkProof
-from .transcript import Transcript, derive_z
+from .transcript import Transcript, derive_z, derive_z_ext
+
+
+def _value_bytes(value) -> bytes:
+    """Leaf value encoding: 8-byte LE base scalar, or 32-byte LE ext scalar
+    (4 x 8-byte limbs, src/ext.rs:81-89) in the ext-challenges mode."""
+    if isinstance(value, tuple):
+        return extf.h_to_bytes(value)
+    return int(value).to_bytes(8, "little")
 
 
 def _verify_opening(opening: MerkleOpening, root: bytes) -> bool:
-    """Leaf = salt || value8LE (src/verifier.rs:235-238)."""
-    leaf = opening.salt + int(opening.value).to_bytes(8, "little")
+    """Leaf = salt || value bytes (src/verifier.rs:235-238)."""
+    leaf = opening.salt + _value_bytes(opening.value)
     return verify_merkle_proof(leaf, opening.proof, root)
 
 
 def _unsalted_root(values) -> bytes:
     """Recompute the unsalted final-layer root (src/verifier.rs:241-244)."""
-    return host_tree_root([int(v).to_bytes(8, "little") for v in values])
+    return host_tree_root([_value_bytes(v) for v in values])
+
+
+class _BaseOps:
+    """Scalar field shim: the per-query algebra is written once over these
+    and instantiated for F_p (reference protocol) or F_p^4 (ext mode)."""
+
+    @staticmethod
+    def lift(v: int):  # base opening value -> field element
+        return v % P
+    add = staticmethod(lambda a, b: (a + b) % P)
+    sub = staticmethod(lambda a, b: (a - b) % P)
+    mul = staticmethod(lambda a, b: a * b % P)
+    mul_base = staticmethod(lambda a, s: a * s % P)
+    inv = staticmethod(lambda a: pow(a, P - 2, P))
+    is_tuple = False
+
+
+class _ExtOps:
+    lift = staticmethod(extf.h_from_base)
+    add = staticmethod(extf.h_add)
+    sub = staticmethod(extf.h_sub)
+    mul = staticmethod(extf.h_mul)
+    mul_base = staticmethod(extf.h_mul_base)
+    inv = staticmethod(extf.h_inv)
+    is_tuple = True
 
 
 class StarkVerifier:
@@ -46,6 +80,37 @@ class StarkVerifier:
         if N != n * cfg.blowup:
             return False
 
+        # the proof's field mode must match the configured protocol
+        ext = cfg.ext_challenges
+        if bool(proof.ext) != bool(ext):
+            return False
+        ops = _ExtOps if ext else _BaseOps
+        if ext:
+            # structural validation: OOD scalars must be 4-limb ext values
+            for v in (proof.t_z, proof.t_gz, proof.t_ggz, proof.q_z):
+                if not (isinstance(v, tuple) and len(v) == 4):
+                    return False
+
+        # generic multi-column / multi-constraint AIRs use the v3 proof shape
+        k = getattr(self.air, "num_columns", 1)
+        nc = getattr(self.air, "num_constraints", 1)
+        ns = self.air.num_shifts
+        multi = k > 1 or nc > 1 or ns != 3
+        if multi:
+            if ext:
+                return False  # combination not supported
+            if proof.ood_trace is None:
+                return False
+            if proof.num_columns != k or proof.num_shifts != ns:
+                return False
+            if len(proof.ood_trace) != ns or any(
+                not (isinstance(r, tuple) and len(r) == k)
+                for r in proof.ood_trace
+            ):
+                return False
+        elif proof.ood_trace is not None:
+            return False
+
         from .field.babybear import get_root_of_unity
 
         log_n = n.bit_length() - 1
@@ -57,15 +122,48 @@ class StarkVerifier:
         # ── 1. replay Fiat-Shamir transcript (verifier.rs:31-41) ──────────
         transcript = Transcript()
         transcript.absorb_commitment(proof.trace_commitment)
+        alphas = ()
+        if multi and nc > 1:
+            # constraint-composition challenges, squeezed from the trace root
+            alphas = tuple(transcript.squeeze_challenge() for _ in range(nc))
         transcript.absorb_commitment(proof.quotient_commitment)
-        z = derive_z(transcript, N, shift)
-        for v in (proof.t_z, proof.t_gz, proof.t_ggz, proof.q_z):
-            transcript.absorb_field(v)
+        if ext:
+            z = derive_z_ext(transcript, N, shift)
+            for v in (proof.t_z, proof.t_gz, proof.t_ggz, proof.q_z):
+                transcript.absorb_ext(v)
+        elif multi:
+            z = derive_z(transcript, N, shift)
+            for row in proof.ood_trace:
+                for v in row:
+                    transcript.absorb_field(v)
+            transcript.absorb_field(proof.q_z)
+        else:
+            z = derive_z(transcript, N, shift)
+            for v in (proof.t_z, proof.t_gz, proof.t_ggz, proof.q_z):
+                transcript.absorb_field(v)
 
         # ── 2. OOD constraint check: C(z) = Q(z) * Z(z) (verifier.rs:43-49)
-        c_z = self.air.constraint_at([proof.t_z, proof.t_gz, proof.t_ggz], z, g, n)
-        z_z = (pow(z, n, P) - 1) % P  # vanishing poly of the standard trace domain
-        if c_z != proof.q_z * z_z % P:
+        if ext:
+            c_z = self.air.constraint_at_ext(
+                [proof.t_z, proof.t_gz, proof.t_ggz], z, g, n
+            )
+            z_z = extf.h_sub(extf.h_pow(z, n), extf.H_ONE)
+        elif multi:
+            t_scalars = [
+                proof.ood_trace[s] if k > 1 else proof.ood_trace[s][0]
+                for s in range(ns)
+            ]
+            if nc > 1:
+                c_z = self.air.constraint_at(t_scalars, z, g, n, alphas)
+            else:
+                c_z = self.air.constraint_at(t_scalars, z, g, n)
+            z_z = (pow(z, n, P) - 1) % P
+        else:
+            c_z = self.air.constraint_at(
+                [proof.t_z, proof.t_gz, proof.t_ggz], z, g, n
+            )
+            z_z = (pow(z, n, P) - 1) % P  # vanishing poly of the trace domain
+        if c_z != ops.mul(proof.q_z, z_z):
             return False
 
         # ── 3. FRI schedule checks (verifier.rs:51-79) ────────────────────
@@ -87,7 +185,10 @@ class StarkVerifier:
         transcript.absorb_commitment(proof.fri_commitments[0])
         fri_betas = []
         for i in range(1, len(proof.fri_commitments)):
-            fri_betas.append(transcript.squeeze_challenge())
+            fri_betas.append(
+                transcript.squeeze_ext_challenge() if ext
+                else transcript.squeeze_challenge()
+            )
             transcript.absorb_commitment(proof.fri_commitments[i])
 
         # ── 4. re-derive query indices (verifier.rs:92-98) ────────────────
@@ -111,16 +212,30 @@ class StarkVerifier:
             if len(qp.fri_openings) != expected_folds - 1:
                 return False
 
-            # 6a. trace openings: 3 Merkle proofs + index algebra
-            for op in (qp.trace_opening, qp.trace_opening_g, qp.trace_opening_gg):
-                if not _verify_opening(op, proof.trace_commitment):
+            # 6a. trace openings: one Merkle proof per shift + index algebra
+            if multi:
+                if qp.trace_openings is None or len(qp.trace_openings) != ns:
                     return False
-            if (
-                qp.trace_opening.index != qi
-                or qp.trace_opening_g.index != (qi + cfg.blowup) % N
-                or qp.trace_opening_gg.index != (qi + 2 * cfg.blowup) % N
-            ):
-                return False
+                t_opens = []
+                for s, op in enumerate(qp.trace_openings):
+                    v = op.value if isinstance(op.value, tuple) else (op.value,)
+                    if len(v) != k:
+                        return False
+                    if not _verify_opening(op, proof.trace_commitment):
+                        return False
+                    if op.index != (qi + s * cfg.blowup) % N:
+                        return False
+                    t_opens.append(v)
+            else:
+                for op in (qp.trace_opening, qp.trace_opening_g, qp.trace_opening_gg):
+                    if not _verify_opening(op, proof.trace_commitment):
+                        return False
+                if (
+                    qp.trace_opening.index != qi
+                    or qp.trace_opening_g.index != (qi + cfg.blowup) % N
+                    or qp.trace_opening_gg.index != (qi + 2 * cfg.blowup) % N
+                ):
+                    return False
 
             # 6b. quotient opening
             if not _verify_opening(qp.quotient_opening, proof.quotient_commitment):
@@ -134,22 +249,42 @@ class StarkVerifier:
 
             # 6d. DEEP reconstruction from opened + OOD values
             x_i = shifted_element(qi)
-            inv_x_minus_z = pow((x_i - z) % P, P - 2, P)
-            expected_deep = (
-                (qp.quotient_opening.value - proof.q_z)
-                + (qp.trace_opening_gg.value - proof.t_ggz)
-                + (qp.trace_opening_g.value - proof.t_gz)
-                + (qp.trace_opening.value - proof.t_z)
-            ) % P * inv_x_minus_z % P
+            inv_x_minus_z = ops.inv(ops.sub(ops.lift(x_i), z))
+            if multi:
+                num = ops.sub(ops.lift(qp.quotient_opening.value), proof.q_z)
+                for s in range(ns):
+                    for c in range(k):
+                        num = ops.add(
+                            num,
+                            ops.sub(
+                                ops.lift(t_opens[s][c]),
+                                proof.ood_trace[s][c] % P,
+                            ),
+                        )
+            else:
+                num = ops.add(
+                    ops.add(
+                        ops.sub(ops.lift(qp.quotient_opening.value), proof.q_z),
+                        ops.sub(ops.lift(qp.trace_opening_gg.value), proof.t_ggz),
+                    ),
+                    ops.add(
+                        ops.sub(ops.lift(qp.trace_opening_g.value), proof.t_gz),
+                        ops.sub(ops.lift(qp.trace_opening.value), proof.t_z),
+                    ),
+                )
+            expected_deep = ops.mul(num, inv_x_minus_z)
             if qp.deep_opening.value != expected_deep:
                 return False
 
             # 6e. first fold: layer 0 -> 1
             a0, b0 = qp.deep_opening.value, qp.deep_opening_pair.value
             x0 = x_i
-            avg = (a0 + b0) * half_inv % P
-            diff = (a0 - b0) * half_inv % P
-            prev_folded = (avg + diff * fri_betas[0] % P * pow(x0, P - 2, P)) % P
+            avg = ops.mul_base(ops.add(a0, b0), half_inv)
+            diff = ops.mul_base(ops.sub(a0, b0), half_inv)
+            prev_folded = ops.add(
+                avg,
+                ops.mul_base(ops.mul(diff, fri_betas[0]), pow(x0, P - 2, P)),
+            )
 
             # 6f. intermediate layers
             pos = qi
@@ -173,11 +308,14 @@ class StarkVerifier:
 
                 x = pow(shifted_element(lo), 1 << fold_k, P)
                 a_l, b_l = op.value, op_pair.value
-                avg = (a_l + b_l) * half_inv % P
-                diff = (a_l - b_l) * half_inv % P
-                prev_folded = (
-                    avg + diff * fri_betas[fold_k] % P * pow(x, P - 2, P)
-                ) % P
+                avg = ops.mul_base(ops.add(a_l, b_l), half_inv)
+                diff = ops.mul_base(ops.sub(a_l, b_l), half_inv)
+                prev_folded = ops.add(
+                    avg,
+                    ops.mul_base(
+                        ops.mul(diff, fri_betas[fold_k]), pow(x, P - 2, P)
+                    ),
+                )
                 pos = lo
 
             # 6g. land on the final layer
