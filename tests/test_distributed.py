@@ -146,3 +146,37 @@ def test_sharded_prove_step_matches_single_chip():
         np.asarray(out["q_coeffs_loc"], np.uint64),
         np.asarray(single["q_coeffs"], np.uint64),
     )
+
+
+# ── interactive distributed prover (transcript + query phase on mesh) ───────
+
+def test_interactive_distributed_prover_matches_single():
+    """The COMPLETE distributed prover (per-phase shard_map dispatches,
+    retained sharded tree levels, distributed query gathers) must produce a
+    byte-identical proof to the single-device prover for the same seed —
+    distribution is invisible in the proof."""
+    from toyni_tpu.parallel.prover_interactive import DistributedStarkProver
+    from toyni_tpu.prover import StarkProver
+    from toyni_tpu.verifier import StarkVerifier
+    from toyni_tpu import proof as proof_mod
+    from toyni_tpu.trace import ExecutionTrace
+    from toyni_tpu.field.babybear import P
+
+    n, D = 64, 8
+    fib, a, b = [], 1, 1
+    for _ in range(n):
+        fib.append(a % P)
+        a, b = b, (a + b) % P
+
+    def mk():
+        t = ExecutionTrace()
+        t.insert_column(fib)
+        return t
+
+    dist = DistributedStarkProver(mk(), D, seed=99).generate_proof()
+    single = StarkProver(mk(), seed=99).generate_proof()
+
+    assert StarkVerifier().verify(dist), "distributed proof rejected"
+    assert proof_mod.serialize(dist) == proof_mod.serialize(single), (
+        "distributed proof differs from single-device proof"
+    )

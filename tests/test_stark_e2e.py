@@ -301,3 +301,88 @@ def test_ext_mode_zk_different_blinding(ext_proof):
     p2 = StarkProver(make_trace(), config=cfg, seed=12).generate_proof()
     assert StarkVerifier(config=cfg).verify(p2)
     assert p2.t_z != proof.t_z  # fresh blinding => different openings
+
+
+def _mutate_scalar(rng, v):
+    """Bump one limb of an int or tuple scalar (any wire format)."""
+    if isinstance(v, tuple):
+        i = rng.randrange(len(v))
+        out = list(v)
+        out[i] = (out[i] + rng.randrange(1, P)) % P
+        return tuple(out)
+    return (v + rng.randrange(1, P)) % P
+
+
+def test_fuzz_ext_proofs(ext_proof):
+    """Randomized tamper sweep over the v2 (ext-challenges) wire format."""
+    import random
+
+    proof, cfg = ext_proof
+    rng = random.Random(0xBEEF)
+    v = StarkVerifier(config=cfg)
+    rejected = 0
+    for trial in range(20):
+        p = copy.deepcopy(proof)
+        kind = rng.randrange(5)
+        if kind == 0:
+            p.t_gz = _mutate_scalar(rng, p.t_gz)
+        elif kind == 1:
+            i = rng.randrange(len(p.fri_final_layer))
+            p.fri_final_layer[i] = _mutate_scalar(rng, p.fri_final_layer[i])
+        elif kind == 2:
+            qp = rng.choice(p.query_proofs)
+            op = rng.choice([qp.deep_opening, qp.deep_opening_pair,
+                             qp.trace_opening, qp.quotient_opening])
+            op.value = _mutate_scalar(rng, op.value)
+        elif kind == 3:
+            qp = rng.choice(p.query_proofs)
+            li = rng.randrange(len(qp.fri_openings))
+            op = qp.fri_openings[li][rng.randrange(2)]
+            op.value = _mutate_scalar(rng, op.value)
+        else:
+            which = rng.randrange(len(p.fri_commitments))
+            c = bytearray(p.fri_commitments[which])
+            c[rng.randrange(32)] ^= 1 << rng.randrange(8)
+            p.fri_commitments[which] = bytes(c)
+        if not v.verify(p):
+            rejected += 1
+    assert rejected == 20, f"only {rejected}/20 ext mutations rejected"
+
+
+def test_fuzz_multi_proofs():
+    """Randomized tamper sweep over the v3 (multi-column) wire format."""
+    import random
+
+    from toyni_tpu.air import PairFibonacciAir
+    from tests.test_multi_air import PAIR_AIR, make_pair_trace
+
+    proof = StarkProver(make_pair_trace(), air=PAIR_AIR, seed=77).generate_proof()
+    v = StarkVerifier(air=PAIR_AIR)
+    assert v.verify(proof)
+    rng = random.Random(0xD00D)
+    rejected = 0
+    for trial in range(20):
+        p = copy.deepcopy(proof)
+        kind = rng.randrange(5)
+        if kind == 0:
+            s = rng.randrange(len(p.ood_trace))
+            rows = list(p.ood_trace)
+            rows[s] = _mutate_scalar(rng, rows[s])
+            p.ood_trace = tuple(rows)
+        elif kind == 1:
+            p.q_z = _mutate_scalar(rng, p.q_z)
+        elif kind == 2:
+            qp = rng.choice(p.query_proofs)
+            op = rng.choice(qp.trace_openings)
+            op.value = _mutate_scalar(rng, op.value)
+        elif kind == 3:
+            qp = rng.choice(p.query_proofs)
+            op = rng.choice([qp.deep_opening, qp.deep_opening_pair,
+                             qp.quotient_opening])
+            op.value = _mutate_scalar(rng, op.value)
+        else:
+            i = rng.randrange(len(p.fri_final_layer))
+            p.fri_final_layer[i] = _mutate_scalar(rng, p.fri_final_layer[i])
+        if not v.verify(p):
+            rejected += 1
+    assert rejected == 20, f"only {rejected}/20 multi mutations rejected"
