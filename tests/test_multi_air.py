@@ -140,3 +140,71 @@ def test_pair_air_zk_fresh_blinding(pair_proof):
     p2 = StarkProver(make_pair_trace(), air=PAIR_AIR, seed=23).generate_proof()
     assert StarkVerifier(air=PAIR_AIR).verify(p2)
     assert p2.ood_trace != pair_proof.ood_trace
+
+
+# ── ext_challenges x multi-column combination (wire format v4) ──────────────
+
+from toyni_tpu.config import StarkConfig
+
+
+@pytest.fixture(scope="module")
+def pair_ext_proof():
+    cfg = StarkConfig(ext_challenges=True)
+    return (
+        StarkProver(make_pair_trace(), air=PAIR_AIR, config=cfg,
+                    seed=31).generate_proof(),
+        cfg,
+    )
+
+
+def test_pair_ext_accepts(pair_ext_proof):
+    p, cfg = pair_ext_proof
+    assert p.ext and p.ood_trace is not None
+    assert isinstance(p.q_z, tuple) and len(p.q_z) == 4
+    assert isinstance(p.ood_trace[0][0], tuple)          # ext scalar
+    assert isinstance(p.query_proofs[0].deep_opening.value, tuple)
+    assert len(p.query_proofs[0].deep_opening.value) == 4
+    assert isinstance(p.query_proofs[0].trace_openings[0].value, tuple)
+    assert len(p.query_proofs[0].trace_openings[0].value) == 2  # k columns
+    assert StarkVerifier(air=PAIR_AIR, config=cfg).verify(p)
+
+
+def test_pair_ext_wrong_mode_rejected(pair_ext_proof):
+    p, cfg = pair_ext_proof
+    assert not StarkVerifier(air=PAIR_AIR).verify(p)          # base cfg
+    assert not StarkVerifier(config=cfg).verify(p)            # wrong AIR
+
+
+def test_pair_ext_tampers_rejected(pair_ext_proof):
+    p0, cfg = pair_ext_proof
+    v = StarkVerifier(air=PAIR_AIR, config=cfg)
+
+    p = copy.deepcopy(p0)
+    val = list(p.ood_trace[1][0])
+    val[3] = (val[3] + 1) % P
+    rows = [list(r) for r in p.ood_trace]
+    rows[1][0] = tuple(val)
+    p.ood_trace = tuple(tuple(r) for r in rows)
+    assert not v.verify(p)
+
+    p = copy.deepcopy(p0)
+    qz = list(p.q_z)
+    qz[0] = (qz[0] + 1) % P
+    p.q_z = tuple(qz)
+    assert not v.verify(p)
+
+    p = copy.deepcopy(p0)
+    op = p.query_proofs[2].deep_opening
+    val = list(op.value)
+    val[1] = (val[1] + 1) % P
+    op.value = tuple(val)
+    assert not v.verify(p)
+
+
+def test_pair_ext_serialization_roundtrip(pair_ext_proof):
+    p, cfg = pair_ext_proof
+    data = proof_mod.serialize(p)
+    back = proof_mod.deserialize(data)
+    assert back.ext and back.ood_trace == p.ood_trace and back.q_z == p.q_z
+    assert StarkVerifier(air=PAIR_AIR, config=cfg).verify(back)
+    assert proof_mod.serialize(back) == data

@@ -129,6 +129,20 @@ class PairFibonacciAir:
         c2 = (b1 - a0 - b0) % P * bdry % P
         return (alphas[0] * c1 + alphas[1] * c2) % P
 
+    def constraint_at_ext(self, t, z, g: int, n: int, alphas):
+        """Ext-mode host evaluator: t[s] is a k-tuple of ext scalars, z ext;
+        alphas stay base-field (they compose constraints, not challenges)."""
+        from .field import ext as extf
+
+        a0, b0 = t[0]
+        a1, b1 = t[1]
+        bdry = extf.h_sub(z, extf.h_from_base(pow(g, n - 1, P)))
+        c1 = extf.h_mul(extf.h_sub(a1, b0), bdry)
+        c2 = extf.h_mul(extf.h_sub(b1, extf.h_add(a0, b0)), bdry)
+        return extf.h_add(
+            extf.h_mul_base(c1, alphas[0]), extf.h_mul_base(c2, alphas[1])
+        )
+
     @staticmethod
     def generate_trace(n: int):
         """(A, B) columns of n rows: A=fib(i), B=fib(i+1) in F_p."""

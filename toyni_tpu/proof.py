@@ -89,10 +89,14 @@ class StarkProof:
 # replaces the t_z/t_gz/t_ggz trio with ns*k shift-major OOD values, and
 # writes ns trace openings per query (limb-count-prefixed k-tuples).
 
+# v4 = v3 + ext_challenges: OOD/final-layer/DEEP/FRI scalars are 32-byte
+# ext values (trace openings stay k-tuples of base values).
+
 _MAGIC = b"TSTK"
 _VERSION = 1
 _VERSION_EXT = 2
 _VERSION_MULTI = 3
+_VERSION_MULTI_EXT = 4
 
 
 def _w_scalar(buf, v, ext: bool):
@@ -161,7 +165,10 @@ def serialize(proof: StarkProof) -> bytes:
     v2 = proof.ext or multi  # limb-prefixed opening encoding
     buf = io.BytesIO()
     buf.write(_MAGIC)
-    version = _VERSION_MULTI if multi else (_VERSION_EXT if proof.ext else _VERSION)
+    if multi:
+        version = _VERSION_MULTI_EXT if proof.ext else _VERSION_MULTI
+    else:
+        version = _VERSION_EXT if proof.ext else _VERSION
     _w_u16(buf, version)
     _w_u64(buf, proof.trace_len)
     _w_u64(buf, proof.lde_size)
@@ -173,8 +180,8 @@ def serialize(proof: StarkProof) -> bytes:
     if multi:
         for row in proof.ood_trace:
             for v in row:
-                _w_u64(buf, v)
-        _w_u64(buf, proof.q_z)
+                _w_scalar(buf, v, proof.ext)
+        _w_scalar(buf, proof.q_z, proof.ext)
     else:
         for v in (proof.t_z, proof.t_gz, proof.t_ggz, proof.q_z):
             _w_scalar(buf, v, proof.ext)
@@ -208,10 +215,10 @@ def deserialize(data: bytes) -> StarkProof:
     buf = io.BytesIO(data)
     assert buf.read(4) == _MAGIC, "bad magic"
     version = _r_u16(buf)
-    assert version in (_VERSION, _VERSION_EXT, _VERSION_MULTI), \
-        "unsupported proof version"
-    ext = version == _VERSION_EXT
-    multi = version == _VERSION_MULTI
+    assert version in (_VERSION, _VERSION_EXT, _VERSION_MULTI,
+                       _VERSION_MULTI_EXT), "unsupported proof version"
+    ext = version in (_VERSION_EXT, _VERSION_MULTI_EXT)
+    multi = version in (_VERSION_MULTI, _VERSION_MULTI_EXT)
     v2 = ext or multi
     trace_len = _r_u64(buf)
     lde_size = _r_u64(buf)
@@ -221,10 +228,10 @@ def deserialize(data: bytes) -> StarkProof:
     quotient_commitment = buf.read(32)
     if multi:
         ood_trace = tuple(
-            tuple(_r_u64(buf) for _ in range(k)) for _ in range(ns)
+            tuple(_r_scalar(buf, ext) for _ in range(k)) for _ in range(ns)
         )
         t_z = t_gz = t_ggz = None
-        q_z = _r_u64(buf)
+        q_z = _r_scalar(buf, ext)
     else:
         ood_trace = None
         t_z, t_gz, t_ggz, q_z = (_r_scalar(buf, ext) for _ in range(4))

@@ -314,6 +314,46 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
             gather_salted_leafless_multi=jax.jit(gather_salted_leafless_multi),
         )
 
+        if ext:
+            from .field import ext as extf
+
+            def ood_multi_ext(that, q_coeffs, pts):
+                """pts: (ns, 4) ext points [z, gz, ...]; returns
+                (ns*k + 1, 4) ext values, shift-major column-minor."""
+                rows = []
+                for s in range(ns):
+                    for c in range(k):
+                        rows.append(
+                            extf.eval_poly_base_coeffs(that[c], pts[s])
+                        )
+                rows.append(extf.eval_poly_base_coeffs(q_coeffs, pts[0]))
+                return jnp.stack(rows)
+
+            def deep_multi_ext(trace_lde, q_evals, x, ood, z4):
+                base_sum = q_evals
+                for s in range(ns):
+                    rolled = jnp.roll(trace_lde, -s * blowup, axis=1)
+                    for c in range(k):
+                        base_sum = bb.add(base_sum, rolled[c])
+                ood_sum = bb.sum_mod(ood, axis=0)  # (4,)
+                zero = jnp.zeros_like(base_sum)
+                num = jnp.stack(
+                    [bb.sub(base_sum, ood_sum[0])]
+                    + [bb.sub(zero, ood_sum[j]) for j in (1, 2, 3)],
+                    axis=-1,
+                )
+                x_minus_z = jnp.stack(
+                    [bb.sub(x, z4[0])]
+                    + [bb.sub(zero, z4[j]) for j in (1, 2, 3)],
+                    axis=-1,
+                )
+                return extf.mul(num, extf.inv_fast(x_minus_z))
+
+            fns.update(
+                ood_multi_ext=jax.jit(ood_multi_ext),
+                deep_multi_ext=jax.jit(deep_multi_ext),
+            )
+
     if not ext:
         return fns
 
@@ -477,13 +517,15 @@ class StarkProver:
             final = [int(v) for v in np.asarray(current, np.uint64)]
         return fri_layers, fri_trees, fri_salts, fri_commitments, final
 
-    def _generate_proof_multi(self, fns, k, nc, ns) -> StarkProof:
+    def _generate_proof_multi(self, fns, k, nc, ns, ext=False) -> StarkProof:
         """Generic-AIR path: k trace columns in one row-bundle commitment,
         nc constraints composed with Fiat-Shamir alphas (squeezed from the
         trace root, so the commit phase is two dispatches), ns shifted
         openings per query. With (k, nc, ns) = (1, 1, 3) the transcript
         matches the reference protocol exactly — this path exists for the
-        shapes the reference cannot express."""
+        shapes the reference cannot express. `ext` combines it with the
+        extension-field soundness mode (z/betas from F_p^4; alphas stay
+        base-field)."""
         cfg = self.config
         n = self.trace.num_rows
         N = n * cfg.blowup
@@ -535,40 +577,78 @@ class StarkProver:
         transcript.absorb_commitment(quotient_root)
 
         # ── z, OOD openings (shift-major, column-minor), sanity ───────────
-        z = derive_z(transcript, N, cfg.coset_shift)
-        pts = np.array([z * pow(g, s, P) % P for s in range(ns)], np.uint32)
-        with profiling.phase("ood_evals"):
-            ood_vec = fns["ood_multi"](that, q_coeffs, jnp.asarray(pts))
-            ood_np = np.asarray(ood_vec, np.uint64)
-        ood_trace = tuple(
-            tuple(int(ood_np[s * k + c]) for c in range(k)) for s in range(ns)
-        )
-        q_z = int(ood_np[ns * k])
+        if ext:
+            from .field import ext as extf
+            from .transcript import derive_z_ext
 
-        t_scalars = [
-            ood_trace[s] if k > 1 else ood_trace[s][0] for s in range(ns)
-        ]
-        if nc > 1:
-            c_z = self.air.constraint_at(t_scalars, z, g, n, alphas)
-        else:
-            c_z = self.air.constraint_at(t_scalars, z, g, n)
-        z_z = domain.eval_vanishing(z)
-        if c_z != q_z * z_z % P:
-            raise ValueError("Constraint check at z failed — invalid trace")
-
-        for row in ood_trace:
-            for v in row:
-                transcript.absorb_field(v)
-        transcript.absorb_field(q_z)
-
-        # ── DEEP + FRI ────────────────────────────────────────────────────
-        with profiling.phase("deep"):
-            d_evals = fns["deep_multi"](
-                trace_lde, q_evals, fns["x"], ood_vec, jnp.uint32(z)
+            z = derive_z_ext(transcript, N, cfg.coset_shift)
+            pts_h = [extf.h_mul_base(z, pow(g, s, P)) for s in range(ns)]
+            pts = np.array(pts_h, np.uint32)  # (ns, 4)
+            with profiling.phase("ood_evals"):
+                ood_vec = fns["ood_multi_ext"](that, q_coeffs, jnp.asarray(pts))
+                ood_np = np.asarray(ood_vec, np.uint64)  # (ns*k+1, 4)
+            ood_trace = tuple(
+                tuple(tuple(int(v) for v in ood_np[s * k + c]) for c in range(k))
+                for s in range(ns)
             )
+            q_z = tuple(int(v) for v in ood_np[ns * k])
+
+            t_scalars = [
+                ood_trace[s] if k > 1 else ood_trace[s][0] for s in range(ns)
+            ]
+            if nc > 1:
+                c_z = self.air.constraint_at_ext(t_scalars, z, g, n, alphas)
+            else:
+                c_z = self.air.constraint_at_ext(t_scalars, z, g, n)
+            z_z = extf.h_sub(extf.h_pow(z, n), extf.H_ONE)
+            if c_z != extf.h_mul(q_z, z_z):
+                raise ValueError("Constraint check at z failed — invalid trace")
+
+            for row in ood_trace:
+                for v in row:
+                    transcript.absorb_ext(v)
+            transcript.absorb_ext(q_z)
+
+            with profiling.phase("deep"):
+                d_evals = fns["deep_multi_ext"](
+                    trace_lde, q_evals, fns["x"], ood_vec,
+                    jnp.asarray(z, jnp.uint32),
+                )
+        else:
+            z = derive_z(transcript, N, cfg.coset_shift)
+            pts = np.array([z * pow(g, s, P) % P for s in range(ns)], np.uint32)
+            with profiling.phase("ood_evals"):
+                ood_vec = fns["ood_multi"](that, q_coeffs, jnp.asarray(pts))
+                ood_np = np.asarray(ood_vec, np.uint64)
+            ood_trace = tuple(
+                tuple(int(ood_np[s * k + c]) for c in range(k)) for s in range(ns)
+            )
+            q_z = int(ood_np[ns * k])
+
+            t_scalars = [
+                ood_trace[s] if k > 1 else ood_trace[s][0] for s in range(ns)
+            ]
+            if nc > 1:
+                c_z = self.air.constraint_at(t_scalars, z, g, n, alphas)
+            else:
+                c_z = self.air.constraint_at(t_scalars, z, g, n)
+            z_z = domain.eval_vanishing(z)
+            if c_z != q_z * z_z % P:
+                raise ValueError("Constraint check at z failed — invalid trace")
+
+            for row in ood_trace:
+                for v in row:
+                    transcript.absorb_field(v)
+            transcript.absorb_field(q_z)
+
+            # ── DEEP ──────────────────────────────────────────────────────
+            with profiling.phase("deep"):
+                d_evals = fns["deep_multi"](
+                    trace_lde, q_evals, fns["x"], ood_vec, jnp.uint32(z)
+                )
         final_size = cfg.final_layer_size(n)
         fri_layers, fri_trees, fri_salts, fri_commitments, fri_final_layer = (
-            self._fri_phase(fns, d_evals, transcript, final_size, N, False)
+            self._fri_phase(fns, d_evals, transcript, final_size, N, ext)
         )
 
         # ── query phase ───────────────────────────────────────────────────
@@ -606,14 +686,15 @@ class StarkProver:
             )
         q_pend = gathered("gather_salted", quotient_tree, q_evals, quot_idx,
                           quot_salts)
+        sfx = "_ext" if ext else ""
         d_name = (
             "gather_salted" if fri_trees[0].has_leaf_level
             else "gather_salted_leafless"
-        )
+        ) + sfx
         d_pend = gathered(d_name, fri_trees[0], fri_layers[0], deep_idx,
                           fri_salts[0])
         f_pend = [
-            gathered("gather_salted", fri_trees[li], fri_layers[li],
+            gathered("gather_salted" + sfx, fri_trees[li], fri_layers[li],
                      fri_idx[li - 1], fri_salts[li])
             for li in range(1, num_folds)
         ]
@@ -683,6 +764,7 @@ class StarkProver:
             fri_commitments=fri_commitments,
             fri_final_layer=fri_final_layer,
             query_proofs=query_proofs,
+            ext=ext,
             ood_trace=ood_trace,
             num_columns=k,
             num_shifts=ns,
@@ -707,13 +789,8 @@ class StarkProver:
         nc = getattr(self.air, "num_constraints", 1)
         ns = self.air.num_shifts
         multi = "commit_trace" in fns
-        if multi and ext:
-            raise NotImplementedError(
-                "ext_challenges with multi-column/multi-constraint AIRs is "
-                "not supported yet"
-            )
         if multi:
-            return self._generate_proof_multi(fns, k, nc, ns)
+            return self._generate_proof_multi(fns, k, nc, ns, ext)
 
         # ── 1.+2. commit phases (fibonacci.rs:110-154), one fused program ─
         with profiling.phase("commit_core"):

@@ -85,20 +85,13 @@ class StarkVerifier:
         if bool(proof.ext) != bool(ext):
             return False
         ops = _ExtOps if ext else _BaseOps
-        if ext:
-            # structural validation: OOD scalars must be 4-limb ext values
-            for v in (proof.t_z, proof.t_gz, proof.t_ggz, proof.q_z):
-                if not (isinstance(v, tuple) and len(v) == 4):
-                    return False
 
-        # generic multi-column / multi-constraint AIRs use the v3 proof shape
+        # generic multi-column / multi-constraint AIRs use the v3/v4 shape
         k = getattr(self.air, "num_columns", 1)
         nc = getattr(self.air, "num_constraints", 1)
         ns = self.air.num_shifts
         multi = k > 1 or nc > 1 or ns != 3
         if multi:
-            if ext:
-                return False  # combination not supported
             if proof.ood_trace is None:
                 return False
             if proof.num_columns != k or proof.num_shifts != ns:
@@ -108,8 +101,20 @@ class StarkVerifier:
                 for r in proof.ood_trace
             ):
                 return False
-        elif proof.ood_trace is not None:
-            return False
+            if ext:
+                # every OOD value (and q_z) must be a 4-limb ext scalar
+                vals = [v for r in proof.ood_trace for v in r] + [proof.q_z]
+                for v in vals:
+                    if not (isinstance(v, tuple) and len(v) == 4):
+                        return False
+        else:
+            if proof.ood_trace is not None:
+                return False
+            if ext:
+                # structural validation: OOD scalars are 4-limb ext values
+                for v in (proof.t_z, proof.t_gz, proof.t_ggz, proof.q_z):
+                    if not (isinstance(v, tuple) and len(v) == 4):
+                        return False
 
         from .field.babybear import get_root_of_unity
 
@@ -127,37 +132,51 @@ class StarkVerifier:
             # constraint-composition challenges, squeezed from the trace root
             alphas = tuple(transcript.squeeze_challenge() for _ in range(nc))
         transcript.absorb_commitment(proof.quotient_commitment)
-        if ext:
+        if multi:
+            if ext:
+                z = derive_z_ext(transcript, N, shift)
+                for row in proof.ood_trace:
+                    for v in row:
+                        transcript.absorb_ext(v)
+                transcript.absorb_ext(proof.q_z)
+            else:
+                z = derive_z(transcript, N, shift)
+                for row in proof.ood_trace:
+                    for v in row:
+                        transcript.absorb_field(v)
+                transcript.absorb_field(proof.q_z)
+        elif ext:
             z = derive_z_ext(transcript, N, shift)
             for v in (proof.t_z, proof.t_gz, proof.t_ggz, proof.q_z):
                 transcript.absorb_ext(v)
-        elif multi:
-            z = derive_z(transcript, N, shift)
-            for row in proof.ood_trace:
-                for v in row:
-                    transcript.absorb_field(v)
-            transcript.absorb_field(proof.q_z)
         else:
             z = derive_z(transcript, N, shift)
             for v in (proof.t_z, proof.t_gz, proof.t_ggz, proof.q_z):
                 transcript.absorb_field(v)
 
         # ── 2. OOD constraint check: C(z) = Q(z) * Z(z) (verifier.rs:43-49)
-        if ext:
-            c_z = self.air.constraint_at_ext(
-                [proof.t_z, proof.t_gz, proof.t_ggz], z, g, n
-            )
-            z_z = extf.h_sub(extf.h_pow(z, n), extf.H_ONE)
-        elif multi:
+        if multi:
             t_scalars = [
                 proof.ood_trace[s] if k > 1 else proof.ood_trace[s][0]
                 for s in range(ns)
             ]
-            if nc > 1:
-                c_z = self.air.constraint_at(t_scalars, z, g, n, alphas)
+            if ext:
+                if nc > 1:
+                    c_z = self.air.constraint_at_ext(t_scalars, z, g, n, alphas)
+                else:
+                    c_z = self.air.constraint_at_ext(t_scalars, z, g, n)
+                z_z = extf.h_sub(extf.h_pow(z, n), extf.H_ONE)
             else:
-                c_z = self.air.constraint_at(t_scalars, z, g, n)
-            z_z = (pow(z, n, P) - 1) % P
+                if nc > 1:
+                    c_z = self.air.constraint_at(t_scalars, z, g, n, alphas)
+                else:
+                    c_z = self.air.constraint_at(t_scalars, z, g, n)
+                z_z = (pow(z, n, P) - 1) % P
+        elif ext:
+            c_z = self.air.constraint_at_ext(
+                [proof.t_z, proof.t_gz, proof.t_ggz], z, g, n
+            )
+            z_z = extf.h_sub(extf.h_pow(z, n), extf.H_ONE)
         else:
             c_z = self.air.constraint_at(
                 [proof.t_z, proof.t_gz, proof.t_ggz], z, g, n
@@ -258,7 +277,7 @@ class StarkVerifier:
                             num,
                             ops.sub(
                                 ops.lift(t_opens[s][c]),
-                                proof.ood_trace[s][c] % P,
+                                proof.ood_trace[s][c],
                             ),
                         )
             else:
