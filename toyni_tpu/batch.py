@@ -381,7 +381,6 @@ class BatchStarkProver:
             np.int32)
         fri_idx = []
         for li in range(1, num_folds):
-            half = fri_layers[li].shape[1] // 2
             rows = []
             for qs in query_indices:
                 row = []

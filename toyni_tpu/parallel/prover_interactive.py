@@ -338,7 +338,7 @@ class DistributedStarkProver:
         D = self.D
         n = self.trace.num_rows
         ph = _phases(n, D, cfg)
-        N, L, final_size, B = ph["params"]
+        N, _L, final_size, B = ph["params"]
         mesh = ph["mesh"]
         tb = ph["tables"]
         domain = Domain.new(n)

@@ -777,7 +777,6 @@ class StarkProver:
         n = self.trace.num_rows
         N = n * cfg.blowup
         domain = Domain.new(n)
-        shifted = Domain.new(N).get_coset(cfg.coset_shift)
         g = domain.group_gen()
 
         ext = cfg.ext_challenges
