@@ -119,6 +119,12 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         x=shifted.elements(),
     )
 
+    # huge committed layers drop the stored leaf-digest level (1 GB/tree at
+    # LDE 2^25); query-time sibling digests are recomputed from value + salt
+    from .merkle import LEAFLESS_MIN
+
+    keep_leaves = N < LEAFLESS_MIN
+
     def commit(trace_col, r_mask, trace_salts, quot_salts, tb):
         """Phases 1-2 (fibonacci.rs:110-154) as one program: interpolate,
         mask, coset LDE, constraint, quotient, and both Merkle trees."""
@@ -144,6 +150,9 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         quot_levels = _device_levels(
             sha.hash_salted_leaves(q_evals, quot_salts)
         )
+        if not keep_leaves:
+            trace_levels = trace_levels[1:]
+            quot_levels = quot_levels[1:]
         return dict(
             that=that,
             trace_lde=trace_lde,
@@ -808,8 +817,11 @@ class StarkProver:
             q_evals = out["q_evals"]
             q_coeffs = out["q_coeffs"]
             x = fns["x"]
-            trace_tree = DeviceTree(out["trace_levels"])
-            quotient_tree = DeviceTree(out["quot_levels"])
+            from .merkle import LEAFLESS_MIN
+
+            keep = N < LEAFLESS_MIN
+            trace_tree = DeviceTree(out["trace_levels"], has_leaf_level=keep)
+            quotient_tree = DeviceTree(out["quot_levels"], has_leaf_level=keep)
             trace_root = trace_tree.root()
             quotient_root = quotient_tree.root()
 
