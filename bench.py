@@ -57,13 +57,17 @@ def _bench_backend(device, log_n: int, iters: int) -> float:
         jnp.asarray(rng.integers(0, P, n, dtype=np.uint64).astype(np.uint32)),
         device,
     )
-    fn = jax.jit(lambda v: ntt_ops.ntt(v, omega))
+    # twiddle tables ride in as ARGUMENTS (PERF.md rule 2): closing the jit
+    # over them would bake ~64 MB of constants into the program, which makes
+    # the remote compile an order of magnitude slower
+    tabs = jax.device_put(ntt_ops.ntt_tables(n, omega), device)
+    fn = jax.jit(lambda v, t: ntt_ops.apply_ntt(v, t, n))
     # warm-up (compile + one full execution observed on host)
-    np.asarray(fn(x0)[:8])
+    np.asarray(fn(x0, tabs)[:8])
     t0 = time.perf_counter()
     y = x0
     for _ in range(iters):
-        y = fn(y)
+        y = fn(y, tabs)
     sink = int(np.asarray(y[:8])[0])  # completion of the full chain
     dt = (time.perf_counter() - t0) / iters
     assert 0 <= sink < 2013265921
