@@ -275,7 +275,13 @@ def hash_node_bytes(left: bytes, right: bytes) -> bytes:
 
 
 def verify_merkle_proof(leaf: bytes, proof: MerkleProof, root: bytes) -> bool:
-    """Stateless path verification (src/merkle.rs:87-101)."""
+    """Stateless path verification (src/merkle.rs:87-101). Dispatches to the
+    native C++ runtime when built (identical bytes — differential-tested);
+    the hashlib path is the always-available oracle."""
+    from . import native
+
+    if native.available():
+        return native.merkle_verify(leaf, proof.path, proof.position, root)
     cur = hash_leaf_bytes(leaf)
     for sibling, is_right in zip(proof.path, proof.position):
         cur = hash_node_bytes(sibling, cur) if is_right else hash_node_bytes(cur, sibling)
@@ -283,9 +289,22 @@ def verify_merkle_proof(leaf: bytes, proof: MerkleProof, root: bytes) -> bool:
 
 
 def host_tree_root(leaves: list) -> bytes:
-    """Host (hashlib) tree build, the differential oracle for `build_levels`
-    and the verifier's unsalted-root recomputation (src/verifier.rs:241-244).
-    `leaves` is a list of byte strings."""
+    """Host tree build, the differential oracle for `build_levels` and the
+    verifier's unsalted-root recomputation (src/verifier.rs:241-244).
+    `leaves` is a list of byte strings; fixed-width leaf sets take the
+    native C++ batched path when the runtime is built."""
+    from . import native
+
+    if leaves and native.available():
+        w = len(leaves[0])
+        if all(len(l) == w for l in leaves):
+            arr = np.frombuffer(b"".join(leaves), np.uint8).reshape(
+                len(leaves), w
+            )
+            digests = native.merkle_leaf_hashes(arr)
+            levels = native.merkle_build_levels(digests)
+            top = levels[-1][0] if levels else digests[0]
+            return bytes(top)
     level = [hash_leaf_bytes(l) for l in leaves]
     while len(level) > 1:
         if len(level) % 2 == 1:
