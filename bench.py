@@ -50,6 +50,10 @@ def _bench_backend(device, log_n: int, iters: int) -> float:
     from toyni_tpu.field.babybear import P, get_root_of_unity
     from toyni_tpu.ops import ntt as ntt_ops
 
+    # Pin the default device so backend-conditional paths (the Pallas
+    # fused-stage kernel is TPU-only) resolve for THIS device at trace time.
+    jax.config.update("jax_default_device", device)
+
     n = 1 << log_n
     omega = get_root_of_unity(log_n)
     rng = np.random.default_rng(0)

@@ -36,6 +36,7 @@ from .ops import sha256 as sha
 from .ops.ntt import (
     _FOUR_STEP_MIN,
     _four_step_tables_dev,
+    _pallas_ntt_enabled,
     _twiddle_tables,
     ntt_axis0,
     ntt_stages,
@@ -57,11 +58,26 @@ def ntt_batched(values: jnp.ndarray, tabs, size: int) -> jnp.ndarray:
     lanes), flat per-stage kernel for small n."""
     if size < _FOUR_STEP_MIN:
         return ntt_stages(values, tabs)
-    colt, rowt, W = tabs
+    colt, rowt, W = tabs[0], tabs[1], tabs[2]
     n1, n2 = W.shape
     Bsz = values.shape[0]
     x3 = values.reshape(Bsz, n1, n2)
     xt = jnp.transpose(x3, (1, 0, 2)).reshape(n1, Bsz * n2)
+    if len(tabs) == 5 and _pallas_ntt_enabled():
+        # Fused-stage Mosaic kernel on the batch-widened lanes (same kernels
+        # as the single-proof path; the W multiply stays an XLA elementwise
+        # because W broadcasts over the batch axis).
+        from .ops.ntt_pallas import _ntt_axis0_roll_nobitrev
+        from .ops.ntt import _bitrev
+
+        tw_col, tw_row = tabs[3], tabs[4]
+        xb = jnp.take(xt, jnp.asarray(_bitrev(n1)), axis=0)
+        a = _ntt_axis0_roll_nobitrev(xb, tw_col).reshape(n1, Bsz, n2)
+        a = bb.mont_mul(a, W[:, None, :])
+        at = jnp.transpose(a, (2, 1, 0)).reshape(n2, Bsz * n1)
+        ab = jnp.take(at, jnp.asarray(_bitrev(n2)), axis=0)
+        c = _ntt_axis0_roll_nobitrev(ab, tw_row).reshape(n2, Bsz, n1)
+        return jnp.transpose(c, (1, 0, 2)).reshape(Bsz, n1 * n2)
     a = ntt_axis0(xt, colt).reshape(n1, Bsz, n2)
     a = bb.mont_mul(a, W[:, None, :])
     at = jnp.transpose(a, (2, 1, 0)).reshape(n2, Bsz * n1)
@@ -134,8 +150,8 @@ def _batch_fns(Bsz: int, n: int, N: int, L: int, blowup: int,
 
     def tab(size, omega):
         if size >= _FOUR_STEP_MIN:
-            _, _, colt, rowt, W = _four_step_tables_dev(size, omega)
-            return (colt, rowt, W)
+            _, _, colt, rowt, W, twc, twr = _four_step_tables_dev(size, omega)
+            return (colt, rowt, W, twc, twr)
         return _twiddle_tables(size, omega)
 
     tables = dict(

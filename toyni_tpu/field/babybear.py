@@ -99,6 +99,46 @@ def mont_mul(a, b):
     return jnp.where(u >= _c(P), u - _c(P), u)
 
 
+def mont_mul_shift(a, b):
+    """`mont_mul` with the reduction's multiplies replaced by shifts.
+
+    Both Montgomery constants have pure power-of-two structure:
+    -p^-1 mod 2^32 = 2^31 - 2^27 - 1 and p = 2^31 - 2^27 + 1, so
+    m = t_lo * np and hi32(m * p) reduce to shifted adds with explicit
+    borrow/carry tracking. The low product half is rebuilt from the same
+    16-bit limbs as the high half. 4 multiplies per lane (vs 10 in
+    `mont_mul`) at the price of more adds/compares — a win only inside
+    fused compute-bound kernels; bit-identical to `mont_mul` everywhere.
+    """
+    a0 = a & _MASK16
+    a1 = a >> 16
+    b0 = b & _MASK16
+    b1 = b >> 16
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    mid = lh + (ll >> 16)
+    mid2 = hl + (mid & _MASK16)
+    t_hi = hh + (mid >> 16) + (mid2 >> 16)
+    t_lo = ll + ((lh + hl) << 16)
+    # m = t_lo * (2^31 - 2^27 - 1) mod 2^32
+    m = (t_lo << 31) - (t_lo << 27) - t_lo
+    # hi32(m * p), p = 2^31 - 2^27 + 1, with exact borrow/carry propagation
+    lo_a = m << 31
+    lo_b = m << 27
+    lo1 = lo_a - lo_b
+    lo2 = lo1 + m
+    mp_hi = (
+        (m >> 1)
+        - (m >> 5)
+        - (lo_a < lo_b).astype(_U32)
+        + (lo2 < m).astype(_U32)
+    )
+    u = t_hi + mp_hi + (t_lo != 0).astype(_U32)
+    return jnp.where(u >= _c(P), u - _c(P), u)
+
+
 def to_mont(a):
     """Map standard form -> Montgomery form (a -> a*R mod p)."""
     return mont_mul(a, _c(MONT_R2))

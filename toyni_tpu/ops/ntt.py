@@ -159,6 +159,19 @@ def ntt_axis0(x2d: jnp.ndarray, twiddles: tuple) -> jnp.ndarray:
     return v.reshape(n1, B)
 
 
+def _stage_tables_full_np(n1: int, omega: int) -> np.ndarray:
+    """(log_n1, n1) matrix for the Pallas roll kernel: row s-1 holds
+    w_s[i & (half-1)] for every row i (Montgomery form)."""
+    log_n = n1.bit_length() - 1
+    tabs = _twiddle_tables_np(n1, omega)
+    out = np.empty((log_n, n1), np.uint32)
+    idx = np.arange(n1)
+    for s in range(1, log_n + 1):
+        half = 1 << (s - 1)
+        out[s - 1] = np.asarray(tabs[s - 1])[idx & (half - 1)]
+    return out
+
+
 @functools.lru_cache(maxsize=32)
 def _four_step_tables(n: int, omega: int):
     """(n1, n2, col twiddle tuple, row twiddle tuple, W matrix) for the
@@ -194,6 +207,8 @@ def _four_step_tables_dev(n: int, omega: int):
             tuple(jnp.asarray(t) for t in col),
             tuple(jnp.asarray(t) for t in row),
             jnp.asarray(W),
+            jnp.asarray(_stage_tables_full_np(n1, pow(omega, n2, P))),
+            jnp.asarray(_stage_tables_full_np(n2, pow(omega, n1, P))),
         )
 
 
@@ -201,11 +216,49 @@ def _four_step_tables_dev(n: int, omega: int):
 _FOUR_STEP_MIN = 1 << 12
 
 
+_PALLAS_NTT = None
+
+
+def _pallas_ntt_enabled() -> bool:
+    """Fused-stage Mosaic kernel for the four-step passes on TPU (43 Gbf/s
+    at 2^24 vs 33 for the XLA per-stage path); XLA elsewhere. Opt out with
+    TOYNI_PALLAS_NTT=0."""
+    global _PALLAS_NTT
+    if _PALLAS_NTT is None:
+        import os
+
+        if os.environ.get("TOYNI_PALLAS_NTT") == "0":
+            _PALLAS_NTT = False
+        else:
+            try:
+                _PALLAS_NTT = any(x.platform == "tpu" for x in jax.devices())
+            except Exception:
+                _PALLAS_NTT = False
+    if not _PALLAS_NTT:
+        return False
+    # Re-checked per call: a CPU-pinned default device (tests, bench's CPU
+    # comparison leg) must take the XLA path even though a TPU exists.
+    try:
+        d = jax.config.jax_default_device
+        return d is None or d.platform == "tpu"
+    except Exception:
+        return True
+
+
 def four_step_apply(values: jnp.ndarray, tabs) -> jnp.ndarray:
-    """Apply a four-step transform given its tables (colt, rowt, W)."""
-    colt, rowt, W = tabs
+    """Apply a four-step transform given its tables (see `ntt_tables`)."""
+    colt, rowt, W = tabs[0], tabs[1], tabs[2]
     n1, n2 = W.shape
     x2d = values.reshape(n1, n2)
+    if len(tabs) == 5 and _pallas_ntt_enabled():
+        from .ntt_pallas import _ntt_axis0_roll_nobitrev
+
+        tw_col, tw_row = tabs[3], tabs[4]
+        xb = jnp.take(x2d, jnp.asarray(_bitrev(n1)), axis=0)
+        a = _ntt_axis0_roll_nobitrev(xb, tw_col, W, fuse_w=True)
+        ab = jnp.take(a.T, jnp.asarray(_bitrev(n2)), axis=0)
+        c = _ntt_axis0_roll_nobitrev(ab, tw_row, fuse_w=False)
+        return c.reshape(n1 * n2)
     a = ntt_axis0(x2d, colt)              # column DFTs, n2-wide lanes
     a = bb.mont_mul(a, W)                 # twiddle correction
     c = ntt_axis0(a.T, rowt)              # row DFTs, n1-wide lanes
@@ -218,8 +271,8 @@ def ntt_tables(size: int, omega: int):
     to hundreds of MB of constants into the compiled program (and into the
     remote-compile request)."""
     if size >= _FOUR_STEP_MIN:
-        _, _, colt, rowt, W = _four_step_tables_dev(size, omega)
-        return (colt, rowt, W)
+        _, _, colt, rowt, W, twc, twr = _four_step_tables_dev(size, omega)
+        return (colt, rowt, W, twc, twr)
     return _twiddle_tables(size, omega)
 
 

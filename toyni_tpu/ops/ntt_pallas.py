@@ -76,6 +76,111 @@ def _make_kernel(n1: int, TB: int, fuse_w: bool):
     return kernel
 
 
+# ── roll+select formulation ─────────────────────────────────────────────────
+#
+# Mosaic crashes on the (blocks, len, TB) reshape/concat butterfly pattern
+# (see PERF.md). This variant expresses a stage with NO reshapes: both
+# butterfly operands come from whole-tile sublane rotations (pltpu.roll) and
+# the +/- halves are picked by an iota bit mask:
+#     bit(i, s-1) == 0:  out[i] = v[i] + w_i * v[i + half]
+#     bit(i, s-1) == 1:  out[i] = v[i - half] - w_i * v[i]
+# with w_i = w_s[i & (half-1)] from a per-stage full-height table. Twice the
+# multiplies of the minimal butterfly, but the tile never leaves VMEM — the
+# whole transform is 2 HBM passes instead of ~2 per stage.
+
+def _stage_tables_full(n1: int, omega: int) -> np.ndarray:
+    """(log_n1, n1) matrix: row s-1 holds w_s[i & (half-1)] for every row i."""
+    log_n = n1.bit_length() - 1
+    tabs = _twiddle_tables_np(n1, omega)
+    out = np.empty((log_n, n1), np.uint32)
+    idx = np.arange(n1)
+    for s in range(1, log_n + 1):
+        half = 1 << (s - 1)
+        out[s - 1] = tabs[s - 1][idx & (half - 1)]
+    return out
+
+
+def _make_kernel_roll(n1: int, TB: int, fuse_w: bool):
+    log_n = n1.bit_length() - 1
+
+    def kernel(x_ref, tw_ref, *rest):
+        if fuse_w:
+            w_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
+        v = x_ref[:]
+        row = jax.lax.broadcasted_iota(jnp.uint32, (n1, TB), 0)
+        for s in range(1, log_n + 1):
+            half = 1 << (s - 1)
+            tw = tw_ref[s - 1, :].reshape(n1, 1)
+            # ONE multiply per stage: t[i] = w_i * v[i], and since the half
+            # bit sits above the twiddle-index mask, tw[i+half] == tw[i], so
+            # w_i * v[i+half] is just t rolled down by half.
+            t = bb.mont_mul_shift(v, tw)
+            t_dn = pltpu.roll(t, n1 - half, axis=0)  # t_dn[i] = t[(i+half)%n1]
+            u = pltpu.roll(v, half, axis=0)          # u[i] = v[(i-half)%n1]
+            bit = (row >> (s - 1)) & jnp.uint32(1)
+            v = jnp.where(bit == 0, bb.add(v, t_dn), bb.sub(u, t))
+        if fuse_w:
+            v = bb.mont_mul_shift(v, w_ref[:])
+        o_ref[:] = v
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("fuse_w", "interpret"))
+def _ntt_axis0_roll_nobitrev(x2d, tw_mat, w_mat=None, *, fuse_w=False,
+                             interpret=False):
+    n1, B = x2d.shape
+    TB = min(B, 256)
+    assert B % TB == 0
+    in_specs = [
+        pl.BlockSpec((n1, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(tw_mat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x2d, tw_mat]
+    if fuse_w:
+        in_specs.append(
+            pl.BlockSpec((n1, TB), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(w_mat)
+    return pl.pallas_call(
+        _make_kernel_roll(n1, TB, fuse_w),
+        out_shape=jax.ShapeDtypeStruct((n1, B), jnp.uint32),
+        grid=(B // TB,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((n1, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def ntt_axis0_roll(x2d, omega_n1: int, w_mat=None):
+    """Roll+select fused-stage NTT along axis 0 of (n1, B); optional fused
+    four-step twiddle multiply."""
+    n1 = x2d.shape[0]
+    interp = _interpret(x2d)
+    x2d = jnp.take(x2d, jnp.asarray(_bitrev(n1)), axis=0)
+    tw = jnp.asarray(_stage_tables_full(n1, omega_n1))
+    if w_mat is not None:
+        return _ntt_axis0_roll_nobitrev(x2d, tw, w_mat, fuse_w=True,
+                                        interpret=interp)
+    return _ntt_axis0_roll_nobitrev(x2d, tw, fuse_w=False, interpret=interp)
+
+
+def ntt_roll(values: jnp.ndarray, omega: int) -> jnp.ndarray:
+    """Four-step NTT built on the roll+select kernels (same contract as
+    ops.ntt.ntt)."""
+    n = values.shape[0]
+    n1, n2, om_col, om_row, W = _four_step_consts(n, omega)
+    x2d = values.reshape(n1, n2)
+    a = ntt_axis0_roll(x2d, om_col, jnp.asarray(W))
+    c = ntt_axis0_roll(a.T, om_row)
+    return c.reshape(n)
+
+
 def _interpret(x=None) -> bool:
     """Pallas interpreter mode off-TPU (tests on the CPU backend). Decides by
     the argument's actual placement when available — in this deployment the
