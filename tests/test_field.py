@@ -53,6 +53,17 @@ def test_mont_roundtrip():
     check(bb.from_mont(bb.to_mont(dev(a))), a)
 
 
+def test_mont_mul_shift_bit_identical():
+    # shift-trick reduction must equal mont_mul everywhere, incl. edges
+    a, b = rand_arr(4096), rand_arr(4096)
+    edge = np.array([0, 1, 2, P - 1, P - 2, (P - 1) // 2], np.uint64)
+    a = np.concatenate([a, np.repeat(edge, len(edge))])
+    b = np.concatenate([b, np.tile(edge, len(edge))])
+    got = np.asarray(bb.mont_mul_shift(dev(a), dev(b)), np.uint64)
+    ref = np.asarray(bb.mont_mul(dev(a), dev(b)), np.uint64)
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_basic_arithmetic_golden():
     # reference: src/babybear.rs:220-233
     assert int(bb.add(dev([100]), dev([200]))[0]) == 300

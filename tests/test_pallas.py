@@ -51,6 +51,28 @@ def test_pallas_axis0_vs_xla_axis0():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_roll_ntt_matches_xla_four_step():
+    # roll+select fused-stage formulation (the TOYNI_PALLAS_NTT=1 path)
+    n = 1 << 14
+    om = get_root_of_unity(14)
+    x = RNG.integers(0, P, n, dtype=np.uint64)
+    ref = np.asarray(ntt_ops.ntt(jnp.asarray(x.astype(np.uint32)), om), np.uint64)
+    got = np.asarray(ntp.ntt_roll(jnp.asarray(x.astype(np.uint32)), om), np.uint64)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_roll_axis0_vs_xla_axis0():
+    n1, B = 256, 256
+    om = get_root_of_unity(8)
+    x = RNG.integers(0, P, (n1, B), dtype=np.uint64)
+    tw = tuple(jnp.asarray(t) for t in ntt_ops._twiddle_tables(n1, om))
+    got = np.asarray(
+        ntp.ntt_axis0_roll(jnp.asarray(x.astype(np.uint32)), om), np.uint64
+    )
+    ref = np.asarray(ntt_ops.ntt_axis0(jnp.asarray(x.astype(np.uint32)), tw), np.uint64)
+    np.testing.assert_array_equal(got, ref)
+
+
 # ── SHA-256 kernels (emulated off-TPU; same code path as the Mosaic build) ──
 
 def test_pallas_sha_salted_vs_hashlib():

@@ -220,14 +220,17 @@ _PALLAS_NTT = None
 
 
 def _pallas_ntt_enabled() -> bool:
-    """Fused-stage Mosaic kernel for the four-step passes on TPU (43 Gbf/s
-    at 2^24 vs 33 for the XLA per-stage path); XLA elsewhere. Opt out with
-    TOYNI_PALLAS_NTT=0."""
+    """Opt-in (TOYNI_PALLAS_NTT=1) fused-stage Mosaic kernel for the
+    four-step passes on TPU. EXPERIMENTAL — measured end to end it currently
+    LOSES to the XLA per-stage path at 2^24 (the fused twiddle multiply at
+    TB=256 hits a Mosaic scoped-vmem spill: 51 ms/half vs 2.9 unfused, and
+    TB=128 fails scoped-vmem allocation outright inside larger jits; see
+    PERF.md "roll kernel"). Default path is XLA until the kernel wins."""
     global _PALLAS_NTT
     if _PALLAS_NTT is None:
         import os
 
-        if os.environ.get("TOYNI_PALLAS_NTT") == "0":
+        if os.environ.get("TOYNI_PALLAS_NTT") != "1":
             _PALLAS_NTT = False
         else:
             try:
@@ -255,7 +258,10 @@ def four_step_apply(values: jnp.ndarray, tabs) -> jnp.ndarray:
 
         tw_col, tw_row = tabs[3], tabs[4]
         xb = jnp.take(x2d, jnp.asarray(_bitrev(n1)), axis=0)
-        a = _ntt_axis0_roll_nobitrev(xb, tw_col, W, fuse_w=True)
+        # W multiply stays an XLA elementwise (fuses into the transpose
+        # gather): fusing it into the kernel at TB=256 trips a Mosaic
+        # scoped-vmem spill that costs 17x kernel time (PERF.md).
+        a = bb.mont_mul(_ntt_axis0_roll_nobitrev(xb, tw_col), W)
         ab = jnp.take(a.T, jnp.asarray(_bitrev(n2)), axis=0)
         c = _ntt_axis0_roll_nobitrev(ab, tw_row, fuse_w=False)
         return c.reshape(n1 * n2)
