@@ -208,3 +208,22 @@ def test_pair_ext_serialization_roundtrip(pair_ext_proof):
     assert back.ext and back.ood_trace == p.ood_trace and back.q_z == p.q_z
     assert StarkVerifier(air=PAIR_AIR, config=cfg).verify(back)
     assert proof_mod.serialize(back) == data
+
+
+def test_pair_air_leafless_trees(monkeypatch):
+    """Leafless row-bundle trees: with the threshold lowered, the k-column
+    trace/quotient commits drop their stored leaf-digest level and the query
+    phase recomputes sibling leaf digests from (values, salts). Used
+    automatically for >=2^22-leaf LDEs (1 GB/level saved per tree)."""
+    from toyni_tpu import merkle as mk
+    from toyni_tpu import prover as prover_mod
+
+    monkeypatch.setattr(mk, "LEAFLESS_MIN", 1024)
+    mk._tree_builder.cache_clear()
+    prover_mod._phase_fns.cache_clear()
+    try:
+        p = StarkProver(make_pair_trace(), air=PAIR_AIR, seed=21).generate_proof()
+        assert StarkVerifier(air=PAIR_AIR).verify(p)
+    finally:
+        mk._tree_builder.cache_clear()
+        prover_mod._phase_fns.cache_clear()

@@ -35,11 +35,10 @@ from .merkle import openings_from_paths
 from .ops import sha256 as sha
 from .ops.ntt import (
     _FOUR_STEP_MIN,
-    _four_step_tables_dev,
     _pallas_ntt_enabled,
-    _twiddle_tables,
     ntt_axis0,
     ntt_stages,
+    ntt_tables,
 )
 from .proof import MerkleOpening, QueryProof, StarkProof
 from .prover import _xs_inv0_dev, _zh_inv_tile_dev
@@ -148,16 +147,10 @@ def _batch_fns(Bsz: int, n: int, N: int, L: int, blowup: int,
     n_inv = pow(n, P - 2, P)
     N_inv = pow(N, P - 2, P)
 
-    def tab(size, omega):
-        if size >= _FOUR_STEP_MIN:
-            _, _, colt, rowt, W, twc, twr = _four_step_tables_dev(size, omega)
-            return (colt, rowt, W, twc, twr)
-        return _twiddle_tables(size, omega)
-
     tables = dict(
-        trace_intt=tab(n, inv_om_n),
-        fft=tab(N, shifted.omega),
-        ifft=tab(N, inv_om_N),
+        trace_intt=ntt_tables(n, inv_om_n),
+        fft=ntt_tables(N, shifted.omega),
+        ifft=ntt_tables(N, inv_om_N),
         shift_fwd=shift_fwd,
         shift_bwd=shift_bwd,
         zh_tile=_zh_inv_tile_dev(n, N, coset_shift, shifted.omega),

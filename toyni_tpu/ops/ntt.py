@@ -116,13 +116,43 @@ def ntt_stages(values: jnp.ndarray, twiddles: tuple) -> jnp.ndarray:
 # butterfly along axis 0, so every stage is full-width elementwise work; large
 # 1-D transforms are decomposed four-step into two such batched passes.
 
+def _r2_stage(v, twiddles, s: int, n1: int, B: int):
+    """One radix-2 DIT stage s (len 2q) on a (…)-shaped view of (n1, B)."""
+    q = 1 << (s - 1)
+    v = v.reshape(n1 // (2 * q), 2, q, B)
+    u, t = v[:, 0], bb.mont_mul(v[:, 1], twiddles[s - 1][None, :, None])
+    return jnp.stack([bb.add(u, t), bb.sub(u, t)], axis=1)
+
+
+def _r4_stages(v, twiddles, s: int, n1: int, B: int):
+    """Fused stages s (len 2q) and s+1 (len 4q): radix-4 in registers."""
+    q = 1 << (s - 1)
+    v = v.reshape(n1 // (4 * q), 4, q, B)
+    x0, x1, x2, x3 = v[:, 0], v[:, 1], v[:, 2], v[:, 3]
+    w_s = twiddles[s - 1][None, :, None]            # (q,)
+    w_a = twiddles[s][:q][None, :, None]            # w_{s+1}[j]
+    w_b = twiddles[s][q:][None, :, None]            # w_{s+1}[q+j]
+    t1 = bb.mont_mul(x1, w_s)
+    t3 = bb.mont_mul(x3, w_s)
+    a0, a1 = bb.add(x0, t1), bb.sub(x0, t1)
+    a2, a3 = bb.add(x2, t3), bb.sub(x2, t3)
+    u2 = bb.mont_mul(a2, w_a)
+    u3 = bb.mont_mul(a3, w_b)
+    return jnp.stack(
+        [bb.add(a0, u2), bb.add(a1, u3), bb.sub(a0, u2), bb.sub(a1, u3)],
+        axis=1,
+    )
+
+
 def ntt_axis0(x2d: jnp.ndarray, twiddles: tuple) -> jnp.ndarray:
     """Batched NTT along axis 0 of a (n1, B) array (B = lanes, ideally >=128).
 
     Consecutive radix-2 stages are fused in pairs (radix-4): the four outputs
     of a double butterfly are computed in registers from four inputs, so the
     array makes one HBM round trip per TWO stages — same multiply count, half
-    the memory passes of the per-stage loop.
+    the memory passes of the per-stage loop. Radix-4 is the measured sweet
+    spot on v5e at 2^24: per-stage radix-2 ~58 ms, radix-4 6.4 ms, a fused
+    radix-8 block 9.4 ms (the 8-slab block stops fusing into one pass).
     """
     n1 = x2d.shape[0]
     log_n = n1.bit_length() - 1
@@ -131,30 +161,10 @@ def ntt_axis0(x2d: jnp.ndarray, twiddles: tuple) -> jnp.ndarray:
     B = x2d.shape[1]
     s = 1
     if log_n % 2 == 1:
-        # one radix-2 stage so the remainder is a whole number of pairs
-        q = 1 << (s - 1)
-        v = v.reshape(n1 // (2 * q), 2, q, B)
-        u, t = v[:, 0], bb.mont_mul(v[:, 1], twiddles[0][None, :, None])
-        v = jnp.stack([bb.add(u, t), bb.sub(u, t)], axis=1)
+        v = _r2_stage(v, twiddles, s, n1, B)
         s += 1
     while s <= log_n:
-        # fused stages s (len 2q) and s+1 (len 4q)
-        q = 1 << (s - 1)
-        v = v.reshape(n1 // (4 * q), 4, q, B)
-        x0, x1, x2, x3 = v[:, 0], v[:, 1], v[:, 2], v[:, 3]
-        w_s = twiddles[s - 1][None, :, None]            # (q,)
-        w_a = twiddles[s][:q][None, :, None]            # w_{s+1}[j]
-        w_b = twiddles[s][q:][None, :, None]            # w_{s+1}[q+j]
-        t1 = bb.mont_mul(x1, w_s)
-        t3 = bb.mont_mul(x3, w_s)
-        a0, a1 = bb.add(x0, t1), bb.sub(x0, t1)
-        a2, a3 = bb.add(x2, t3), bb.sub(x2, t3)
-        u2 = bb.mont_mul(a2, w_a)
-        u3 = bb.mont_mul(a3, w_b)
-        v = jnp.stack(
-            [bb.add(a0, u2), bb.add(a1, u3), bb.sub(a0, u2), bb.sub(a1, u3)],
-            axis=1,
-        )
+        v = _r4_stages(v, twiddles, s, n1, B)
         s += 2
     return v.reshape(n1, B)
 
@@ -249,7 +259,19 @@ def _pallas_ntt_enabled() -> bool:
 
 
 def four_step_apply(values: jnp.ndarray, tabs) -> jnp.ndarray:
-    """Apply a four-step transform given its tables (see `ntt_tables`)."""
+    """Apply a four-step transform given its tables (see `ntt_tables`).
+
+    Table formats: (colt, rowt, W) for the XLA DIT path; the 5-tuple adds
+    (twc, twr) full-height stage tables for the opt-in Pallas roll kernel.
+
+    A DIF (decimation-in-frequency) formulation was tried and REVERTED: it
+    removes both bit-reverse input gathers, but measured at 2^24 on v5e the
+    DIF stage passes themselves run 9x slower than DIT under XLA (33.6 ms
+    vs 3.9 per half — degenerate layouts on the shrinking-q reshapes) and
+    the final flat output permutation is a 145 ms elementwise gather (row
+    gathers move contiguous 16 KB rows at 1.2 ms; a flat 2^24 gather is
+    element-at-a-time). See PERF.md.
+    """
     colt, rowt, W = tabs[0], tabs[1], tabs[2]
     n1, n2 = W.shape
     x2d = values.reshape(n1, n2)

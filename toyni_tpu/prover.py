@@ -251,10 +251,10 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
             that_k = jnp.stack(thats)
             lde_k = jnp.stack(ldes)
             leaf = sha.hash_salted_leaves_multi(lde_k, trace_salts)
-            return dict(
-                that=that_k, trace_lde=lde_k,
-                trace_levels=_device_levels(leaf),
-            )
+            levels = _device_levels(leaf)
+            if not keep_leaves:
+                levels = levels[1:]
+            return dict(that=that_k, trace_lde=lde_k, trace_levels=levels)
 
         def commit_quot(trace_lde, quot_salts, alphas, tb):
             t_views = [
@@ -271,12 +271,13 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
                 bb.mul_const(apply_ntt(q_evals, tb["ifft"], N), N_inv),
                 tb["shift_bwd"],
             )
+            quot_levels = _device_levels(
+                sha.hash_salted_leaves(q_evals, quot_salts)
+            )
+            if not keep_leaves:
+                quot_levels = quot_levels[1:]
             return dict(
-                q_evals=q_evals,
-                q_coeffs=q_coeffs,
-                quot_levels=_device_levels(
-                    sha.hash_salted_leaves(q_evals, quot_salts)
-                ),
+                q_evals=q_evals, q_coeffs=q_coeffs, quot_levels=quot_levels,
             )
 
         def ood_multi(that, q_coeffs, pts):
@@ -562,7 +563,10 @@ class StarkProver:
             )
             that = out1["that"]
             trace_lde = out1["trace_lde"]
-            trace_tree = DeviceTree(out1["trace_levels"])
+            from .merkle import LEAFLESS_MIN
+
+            keep = N < LEAFLESS_MIN
+            trace_tree = DeviceTree(out1["trace_levels"], has_leaf_level=keep)
             trace_root = trace_tree.root()
 
         transcript = Transcript()
@@ -581,7 +585,7 @@ class StarkProver:
             )
             q_evals = out2["q_evals"]
             q_coeffs = out2["q_coeffs"]
-            quotient_tree = DeviceTree(out2["quot_levels"])
+            quotient_tree = DeviceTree(out2["quot_levels"], has_leaf_level=keep)
             quotient_root = quotient_tree.root()
         transcript.absorb_commitment(quotient_root)
 
@@ -693,8 +697,11 @@ class StarkProver:
             tr_pend = fns["gather_salted_leafless_multi"](
                 tuple(trace_tree.levels), trace_lde, trace_salts, t_iarr
             )
-        q_pend = gathered("gather_salted", quotient_tree, q_evals, quot_idx,
-                          quot_salts)
+        q_name = (
+            "gather_salted" if quotient_tree.has_leaf_level
+            else "gather_salted_leafless"
+        )
+        q_pend = gathered(q_name, quotient_tree, q_evals, quot_idx, quot_salts)
         sfx = "_ext" if ext else ""
         d_name = (
             "gather_salted" if fri_trees[0].has_leaf_level
@@ -703,8 +710,11 @@ class StarkProver:
         d_pend = gathered(d_name, fri_trees[0], fri_layers[0], deep_idx,
                           fri_salts[0])
         f_pend = [
-            gathered("gather_salted" + sfx, fri_trees[li], fri_layers[li],
-                     fri_idx[li - 1], fri_salts[li])
+            gathered(
+                ("gather_salted" if fri_trees[li].has_leaf_level
+                 else "gather_salted_leafless") + sfx,
+                fri_trees[li], fri_layers[li], fri_idx[li - 1], fri_salts[li],
+            )
             for li in range(1, num_folds)
         ]
 
