@@ -71,3 +71,77 @@ def test_batch_equals_sequential_and_verifies():
 
     # different seeds => different blinding => distinct proofs
     assert proof_mod.serialize(batch[0]) != proof_mod.serialize(batch[1])
+
+
+def test_batch_multi_air_equals_sequential_and_verifies():
+    """Batched generic-AIR path (k=2 columns, 2 alpha-composed constraints,
+    2 shifts): byte-identical to sequential StarkProver runs per member."""
+    from toyni_tpu.air import PairFibonacciAir
+
+    air = PairFibonacciAir()
+    n = 64
+    col_a, col_b = PairFibonacciAir.generate_trace(n)
+    traces = []
+    for _ in range(2):
+        t = ExecutionTrace()
+        t.insert_column(col_a)
+        t.insert_column(col_b)
+        traces.append(t)
+    seeds = [11, 22]
+
+    batch = BatchStarkProver(traces, air=air, seeds=seeds).generate_proofs()
+    assert len(batch) == 2
+    v = StarkVerifier(air=air)
+    for i, p in enumerate(batch):
+        assert p.num_columns == 2 and p.num_shifts == 2
+        assert v.verify(p), f"batch member {i} rejected"
+        single = StarkProver(traces[i], air=air, seed=seeds[i]).generate_proof()
+        assert proof_mod.serialize(p) == proof_mod.serialize(single), (
+            f"batch member {i} differs from sequential proof"
+        )
+
+
+def test_batch_ext_equals_sequential_and_verifies():
+    """Batched extension-field mode (z and FRI betas from F_p^4):
+    byte-identical to sequential ext proofs per member."""
+    from toyni_tpu.config import StarkConfig
+
+    cfg = StarkConfig(ext_challenges=True)
+    n = 64
+    traces = [fib_trace(n, 1) for _ in range(2)]
+    seeds = [7, 8]
+
+    batch = BatchStarkProver(traces, config=cfg, seeds=seeds).generate_proofs()
+    v = StarkVerifier(config=cfg)
+    for i, p in enumerate(batch):
+        assert p.ext
+        assert v.verify(p), f"batch member {i} rejected"
+        single = StarkProver(traces[i], config=cfg, seed=seeds[i]).generate_proof()
+        assert proof_mod.serialize(p) == proof_mod.serialize(single), (
+            f"batch member {i} differs from sequential ext proof"
+        )
+
+
+def test_batch_ext_multi_air_equals_sequential_and_verifies():
+    """Batched ext + multi-column combination (wire format v4)."""
+    from toyni_tpu.air import PairFibonacciAir
+    from toyni_tpu.config import StarkConfig
+
+    air = PairFibonacciAir()
+    cfg = StarkConfig(ext_challenges=True)
+    n = 64
+    col_a, col_b = PairFibonacciAir.generate_trace(n)
+    t = ExecutionTrace()
+    t.insert_column(col_a)
+    t.insert_column(col_b)
+    traces = [t]
+    seeds = [31]
+
+    batch = BatchStarkProver(traces, air=air, config=cfg,
+                             seeds=seeds).generate_proofs()
+    v = StarkVerifier(air=air, config=cfg)
+    assert batch[0].ext and batch[0].num_columns == 2
+    assert v.verify(batch[0])
+    single = StarkProver(traces[0], air=air, config=cfg,
+                         seed=seeds[0]).generate_proof()
+    assert proof_mod.serialize(batch[0]) == proof_mod.serialize(single)
