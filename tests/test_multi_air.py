@@ -227,3 +227,44 @@ def test_pair_air_leafless_trees(monkeypatch):
     finally:
         mk._tree_builder.cache_clear()
         prover_mod._phase_fns.cache_clear()
+
+
+# ── nonlinear (degree-7) constraint support ─────────────────────────────────
+
+def test_fri_degree_bound_default_unchanged():
+    """constraint_degree=1 must reproduce the reference FRI schedule
+    byte-for-byte (next_pow2(trace_len + 140))."""
+    from toyni_tpu.config import StarkConfig
+
+    cfg = StarkConfig()
+    for n in (64, 256, 1 << 16):
+        assert cfg.fri_degree_bound(n) == 1 << (n + 139).bit_length()
+    assert cfg.final_layer_size(64) == 8  # the reference test shape
+
+
+def test_sbox_chain_air_e2e():
+    """x^7 S-box chain: a constraint the reference protocol cannot express
+    (degree 7 in T). constraint_degree=7 widens the FRI budget so the
+    quotient (deg ~6L) passes the low-degree test; a trace violating the
+    chain must fail the prover's own OOD sanity check."""
+    from toyni_tpu.air import SboxChainAir
+    from toyni_tpu.config import StarkConfig
+
+    air = SboxChainAir()
+    cfg = StarkConfig(constraint_degree=7)
+    n = 256
+    col = SboxChainAir.generate_trace(n)
+    t = ExecutionTrace()
+    t.insert_column(col)
+    p = StarkProver(t, air=air, config=cfg, seed=5).generate_proof()
+    assert p.num_shifts == 2
+    assert StarkVerifier(air=air, config=cfg).verify(p)
+    # default-schedule verifier must reject it (FRI schedule mismatch)
+    assert not StarkVerifier(air=air).verify(p)
+
+    bad_col = list(col)
+    bad_col[n // 2] = (bad_col[n // 2] + 1) % P
+    bad = ExecutionTrace()
+    bad.insert_column(bad_col)
+    with pytest.raises(ValueError):
+        StarkProver(bad, air=air, config=cfg, seed=5).generate_proof()

@@ -3,9 +3,10 @@
 The reference has no CLI (its "application" is the test suite); a production
 framework needs one. Commands:
 
-  prove   --rows N [--out proof.bin] [--seed S] [--profile]
-          prove a Fibonacci trace of N rows, write the serialized proof
-  verify  --in proof.bin
+  prove   --rows N [--air fib|pair|sbox] [--ext] [--out proof.bin]
+          [--seed S] [--profile]
+          prove a bundled-AIR trace of N rows, write the serialized proof
+  verify  --in proof.bin [--air fib|pair|sbox]
           verify a serialized proof (host verifier)
   bench   run the benchmark (same as bench.py)
   info    print protocol + device configuration
@@ -32,17 +33,40 @@ def _fib_column(n: int):
     return out
 
 
+def _make_air(name: str, rows: int):
+    """(air, trace, constraint_degree) for a bundled AIR by CLI name."""
+    from toyni_tpu.trace import ExecutionTrace
+
+    t = ExecutionTrace()
+    if name == "fib":
+        t.insert_column(_fib_column(rows))
+        return None, t, 1  # None = the prover's default FibonacciAir
+    if name == "pair":
+        from toyni_tpu.air import PairFibonacciAir
+
+        air = PairFibonacciAir()
+        col_a, col_b = PairFibonacciAir.generate_trace(rows)
+        t.insert_column(col_a)
+        t.insert_column(col_b)
+        return air, t, 1
+    if name == "sbox":
+        from toyni_tpu.air import SboxChainAir
+
+        air = SboxChainAir()
+        t.insert_column(SboxChainAir.generate_trace(rows))
+        return air, t, air.constraint_degree
+    raise SystemExit(f"unknown AIR {name!r}")
+
+
 def cmd_prove(args) -> int:
     from toyni_tpu import profiling, proof as proof_mod
     from toyni_tpu.config import StarkConfig
     from toyni_tpu.prover import StarkProver
-    from toyni_tpu.trace import ExecutionTrace
 
-    t = ExecutionTrace()
-    t.insert_column(_fib_column(args.rows))
-    cfg = StarkConfig(ext_challenges=args.ext)
+    air, t, deg = _make_air(args.air, args.rows)
+    cfg = StarkConfig(ext_challenges=args.ext, constraint_degree=deg)
     t0 = time.perf_counter()
-    proof = StarkProver(t, config=cfg, seed=args.seed).generate_proof()
+    proof = StarkProver(t, air=air, config=cfg, seed=args.seed).generate_proof()
     dt = time.perf_counter() - t0
     blob = proof_mod.serialize(proof)
     with open(args.out, "wb") as f:
@@ -61,9 +85,10 @@ def cmd_verify(args) -> int:
         proof = proof_mod.deserialize(f.read())
     from toyni_tpu.config import StarkConfig
 
-    cfg = StarkConfig(ext_challenges=bool(proof.ext))
+    air, _, deg = _make_air(args.air, proof.trace_len)
+    cfg = StarkConfig(ext_challenges=bool(proof.ext), constraint_degree=deg)
     t0 = time.perf_counter()
-    ok = StarkVerifier(config=cfg).verify(proof)
+    ok = StarkVerifier(air=air, config=cfg).verify(proof)
     print(f"verify: {'ACCEPT' if ok else 'REJECT'} ({time.perf_counter()-t0:.3f}s)")
     return 0 if ok else 1
 
@@ -105,11 +130,17 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="toyni_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    pp = sub.add_parser("prove", help="prove a Fibonacci trace")
+    air_kw = dict(
+        choices=("fib", "pair", "sbox"), default="fib",
+        help="bundled AIR: fib (reference protocol), pair (2-column/"
+             "2-constraint), sbox (nonlinear x^7 chain, degree-7 FRI budget)",
+    )
+    pp = sub.add_parser("prove", help="prove a bundled-AIR trace")
     pp.add_argument("--rows", type=int, default=64)
     pp.add_argument("--out", default="proof.bin")
     pp.add_argument("--seed", type=int, default=None)
     pp.add_argument("--profile", action="store_true")
+    pp.add_argument("--air", **air_kw)
     pp.add_argument(
         "--ext", action="store_true",
         help="extension-field soundness mode (z, betas from F_p^4)",
@@ -118,6 +149,7 @@ def main(argv=None) -> int:
 
     pv = sub.add_parser("verify", help="verify a serialized proof")
     pv.add_argument("--in", dest="in", default="proof.bin")
+    pv.add_argument("--air", **air_kw)
     pv.set_defaults(fn=cmd_verify)
 
     pb = sub.add_parser("bench", help="run the benchmark")

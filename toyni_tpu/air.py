@@ -153,3 +153,61 @@ class PairFibonacciAir:
             col_b.append(b)
             a, b = b, (a + b) % P
         return col_a, col_b
+
+
+class SboxChainAir:
+    """Bundled NONLINEAR AIR: a MiMC/Poseidon-style x^7 S-box chain,
+
+        T(g x) = (T(x) + x)^7        (deactivated on the last row).
+
+    alpha = 7 is the canonical BabyBear S-box exponent (gcd(7, p-1) = 1, so
+    x^7 is a permutation; 3 and 5 divide p-1 and are not). The round constant
+    is the domain element itself — RC(x) = x is a degree-1 public polynomial,
+    so both evaluators stay closed-form. The composed constraint has degree 7
+    in the trace polynomial; prove with
+    `StarkConfig(constraint_degree=7)`, which widens the FRI degree budget
+    to cover deg(Q) ~ 6L (the reference protocol only supports constraints
+    LINEAR in T, src/fibonacci.rs:315-325 — this AIR exercises the part of
+    the generic machinery it cannot express).
+
+    num_shifts=2 routes proving through the generic path (wire format v3).
+    """
+
+    num_shifts = 2
+    constraint_degree = 7
+
+    @staticmethod
+    def _sbox_lde(u):
+        u2 = bb.mul(u, u)
+        u4 = bb.mul(u2, u2)
+        return bb.mul(bb.mul(u4, u2), u)
+
+    def constraint_lde(self, t, x, g: int, n: int):
+        u = self._sbox_lde(bb.add(t[0], x))
+        bdry = bb.sub(x, jnp.uint32(pow(g, n - 1, P)))
+        return bb.mul(bb.sub(t[1], u), bdry)
+
+    def constraint_at(self, t, z: int, g: int, n: int) -> int:
+        u = pow((t[0] + z) % P, 7, P)
+        return (t[1] - u) % P * ((z - pow(g, n - 1, P)) % P) % P
+
+    def constraint_at_ext(self, t, z, g: int, n: int):
+        from .field import ext as extf
+
+        u = extf.h_pow(extf.h_add(t[0], z), 7)
+        bdry = extf.h_sub(z, extf.h_from_base(pow(g, n - 1, P)))
+        return extf.h_mul(extf.h_sub(t[1], u), bdry)
+
+    @staticmethod
+    def generate_trace(n: int, x0: int = 3):
+        """n rows t_0 = x0, t_{i+1} = (t_i + g^i)^7 (the last row is
+        unconstrained, matching the boundary factor)."""
+        from .domain import Domain
+
+        g = Domain.new(n).group_gen()
+        col, t, gi = [], x0 % P, 1
+        for _ in range(n):
+            col.append(t)
+            t = pow((t + gi) % P, 7, P)
+            gi = gi * g % P
+        return col

@@ -27,6 +27,13 @@ class StarkConfig:
     # and documents this intent (src/ext.rs:1-12) but its own pipeline stays
     # base-field; False reproduces the reference protocol byte-for-byte.
     ext_challenges: bool = False
+    # Algebraic degree of the composed constraint in the trace polynomials.
+    # Both reference constraints are LINEAR in T (the Fibonacci transition is
+    # T(g^2 x) - T(g x) - T(x) times degree-2 boundary factors,
+    # src/fibonacci.rs:315-325), so 1 reproduces the reference FRI schedule.
+    # Nonlinear AIRs (e.g. x^7 S-box chains) raise deg(Q) = deg(C) - n and
+    # must widen the FRI degree budget accordingly.
+    constraint_degree: int = 1
 
     @property
     def mask_degree(self) -> int:
@@ -36,9 +43,15 @@ class StarkConfig:
         return 3 * self.num_queries + 8
 
     def fri_degree_bound(self, trace_len: int) -> int:
-        """next_pow2(trace_len + mask_degree) (src/fibonacci.rs:220,
-        src/verifier.rs:59)."""
-        v = trace_len + self.mask_degree
+        """The power-of-two degree budget the FRI schedule proves the DEEP
+        codeword below. With L = trace_len + mask_degree it covers both the
+        masked trace polynomial (deg L-1) and the quotient
+        (deg <= d*(L-1) + 2 - trace_len for a degree-d constraint with
+        degree-<=2 boundary factors). d=1 gives next_pow2(L) — exactly the
+        reference's schedule (src/fibonacci.rs:220, src/verifier.rs:59)."""
+        L = trace_len + self.mask_degree
+        q_deg = self.constraint_degree * (L - 1) + 2 - trace_len
+        v = max(L, q_deg)
         return 1 << (v - 1).bit_length()
 
     def final_layer_size(self, trace_len: int) -> int:
