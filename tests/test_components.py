@@ -130,3 +130,21 @@ def test_deep_fri_core_pipeline():
     assert out["layers"][-1].shape == (8,)
     for r in out["roots"]:
         assert np.asarray(r).shape == (8,)
+
+
+def test_poly_sub_scale_format():
+    """add/sub/scale/Display parity (src/math/polynomial.rs:88-116,162-165,
+    194-220)."""
+    from toyni_tpu.poly import format_poly, h_add, h_scale, h_sub
+
+    a = [1, 2, 3]
+    b = [5, 7]
+    assert h_sub(a, b) == [(1 - 5) % P, (2 - 7) % P, 3]
+    assert h_add(h_sub(a, b), b) == a
+    assert h_scale(a, 2) == [2, 4, 6]
+    assert h_scale(a, 0) == [0, 0, 0]
+    assert format_poly([1, 2, 3]) == "3x^2 + 2x + 1"
+    assert format_poly([0, 1]) == "x"
+    assert format_poly([5]) == "5"
+    assert format_poly([0, 0]) == "0"
+    assert format_poly([]) == "0"

@@ -60,6 +60,38 @@ def h_add(a, b):
     return out
 
 
+def h_sub(a, b):
+    """a - b coefficient-wise (src/math/polynomial.rs:103-116)."""
+    out = [0] * max(len(a), len(b))
+    for i, v in enumerate(a):
+        out[i] = (out[i] + int(v)) % P
+    for i, v in enumerate(b):
+        out[i] = (out[i] - int(v)) % P
+    return out
+
+
+def h_scale(a, s: int):
+    """s * a (src/math/polynomial.rs:162-165)."""
+    return [int(v) * (s % P) % P for v in a]
+
+
+def format_poly(coeffs) -> str:
+    """Human-readable form, highest-degree term first — API parity with the
+    reference's Display impl (src/math/polynomial.rs:194-220)."""
+    terms = []
+    for i in range(len(coeffs) - 1, -1, -1):
+        c = int(coeffs[i]) % P
+        if c == 0:
+            continue
+        if i == 0:
+            terms.append(f"{c}")
+        elif i == 1:
+            terms.append(f"{c}x" if c != 1 else "x")
+        else:
+            terms.append(f"{c}x^{i}" if c != 1 else f"x^{i}")
+    return " + ".join(terms) if terms else "0"
+
+
 def h_divide_by_linear(coeffs, z: int):
     """Synthetic division by (x - z): returns (quotient_coeffs, remainder),
     with remainder == P(z).
