@@ -80,7 +80,7 @@ _DEFAULT_AIR = FibonacciAir()
 
 @functools.lru_cache(maxsize=8)
 def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
-               ext: bool = False):
+               ext: bool = False, final_size: int = 0, num_queries: int = 0):
     """Jitted device phases (one dispatch each) for trace length n.
 
     On a remote-attached device every dispatch costs a ~25 ms round trip, so
@@ -219,6 +219,80 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         x=tables["x"],
         tables=tables,
     )
+
+    # ── fused query phase: EVERY opened tree in ONE dispatch ──────────────
+    # The reference-shape query phase opens log2(N/final) + 2 trees. One
+    # gather program per tree costs a tunnel round trip to dispatch and
+    # another to materialize (~25 ms each on a remote-attached chip —
+    # measured 1.85 s of a 4.2 s proof at 2^18). This program gathers every
+    # tree and concatenates the results into three flat uint32 arrays, so
+    # the whole phase is one dispatch + one transfer; `split_gathered`
+    # reverses the packing on host.
+    if final_size and num_queries:
+        Q = num_queries
+        _fri_sizes = []
+        _layer = N // 2
+        while _layer > final_size:
+            _fri_sizes.append(_layer)
+            _layer //= 2
+        # opened trees in order: trace (3Q idxs), quotient (Q), DEEP/fri
+        # layer 0 (2Q), then each intermediate FRI layer (2Q each; the final
+        # layer is sent in the clear and never opened)
+        gspec = [
+            dict(size=N, nidx=3 * Q, ext=False),
+            dict(size=N, nidx=Q, ext=False),
+            dict(size=N, nidx=2 * Q, ext=ext),
+        ] + [dict(size=s, nidx=2 * Q, ext=ext) for s in _fri_sizes]
+        for t in gspec:
+            t["leafless"] = t["size"] >= LEAFLESS_MIN
+            t["depth"] = t["size"].bit_length() - 1
+
+        def gather_all(trees, values, salts, idxs):
+            v_out, p_out, s_out = [], [], []
+            for t, levels, vals, slt, idx in zip(gspec, trees, values,
+                                                 salts, idxs):
+                v = jnp.take(vals, idx, axis=0)
+                if t["leafless"]:
+                    sib = idx ^ 1
+                    sv = jnp.take(vals, sib, axis=0)
+                    ss = jnp.take(slt, sib, axis=0)
+                    sib_digest = (
+                        sha.hash_salted_leaves_ext(sv, ss) if t["ext"]
+                        else sha.hash_salted_leaves(sv, ss)
+                    )
+                    rest = extract_paths(levels, idx >> 1)
+                    paths = jnp.concatenate(
+                        [sib_digest[:, None, :], rest], axis=1
+                    )
+                else:
+                    paths = extract_paths(levels, idx)
+                v_out.append(v.reshape(-1))
+                p_out.append(paths.reshape(-1))
+                s_out.append(jnp.take(slt, idx, axis=0).reshape(-1))
+            return (jnp.concatenate(v_out), jnp.concatenate(p_out),
+                    jnp.concatenate(s_out))
+
+        def split_gathered(v_np, p_np, s_np):
+            """Flat uint32 gather outputs -> per-tree (vals u64 [(Q,4) if
+            ext], paths u32 (Q, depth, 8), salts u64 (Q, 4))."""
+            out, vo, po, so = [], 0, 0, 0
+            for t in gspec:
+                nv = t["nidx"] * (4 if t["ext"] else 1)
+                npth = t["nidx"] * t["depth"] * 8
+                nsl = t["nidx"] * 4
+                vals = v_np[vo:vo + nv].astype(np.uint64)
+                if t["ext"]:
+                    vals = vals.reshape(t["nidx"], 4)
+                out.append((
+                    vals,
+                    p_np[po:po + npth].reshape(t["nidx"], t["depth"], 8),
+                    s_np[so:so + nsl].astype(np.uint64).reshape(t["nidx"], 4),
+                ))
+                vo, po, so = vo + nv, po + npth, so + nsl
+            return out
+
+        fns["gather_all"] = jax.jit(gather_all)
+        fns["split_gathered"] = split_gathered
 
     # ── generic multi-column / multi-constraint path ──────────────────────
     # Used when the AIR declares k columns, nc composed constraints, or a
@@ -801,7 +875,7 @@ class StarkProver:
         ext = cfg.ext_challenges
         fns = _phase_fns(
             n, N, n + cfg.mask_degree, cfg.blowup, cfg.coset_shift, self.air,
-            ext,
+            ext, cfg.final_layer_size(n), cfg.num_queries,
         )
         k = getattr(self.air, "num_columns", 1)
         nc = getattr(self.air, "num_constraints", 1)
@@ -964,20 +1038,41 @@ class StarkProver:
             s_np = np.asarray(s, np.uint64) if s is not None else None
             return vals, proofs, s_np
 
-        # enqueue everything first so the transfers overlap, then block once
-        pend = [
-            (trace_tree, trace_idx, dispatch(trace_tree, trace_lde, trace_idx, trace_salts)),
-            (quotient_tree, quot_idx, dispatch(quotient_tree, q_evals, quot_idx, quot_salts)),
-            (fri_trees[0], deep_idx,
-             dispatch(fri_trees[0], fri_layers[0], deep_idx, fri_salts[0], ext)),
-        ]
-        for li in range(1, num_folds):
-            pend.append(
-                (fri_trees[li], fri_idx[li - 1],
-                 dispatch(fri_trees[li], fri_layers[li], fri_idx[li - 1],
-                          fri_salts[li], ext))
+        all_trees = [trace_tree, quotient_tree] + fri_trees[:num_folds]
+        all_idx = [trace_idx, quot_idx, deep_idx] + fri_idx
+        if "gather_all" in fns and not any(t.planar for t in all_trees):
+            # one dispatch + one transfer for the whole query phase
+            all_vals = [trace_lde, q_evals] + fri_layers[:num_folds]
+            all_salts = [trace_salts, quot_salts] + fri_salts[:num_folds]
+            v_f, p_f, s_f = fns["gather_all"](
+                tuple(tuple(t.levels) for t in all_trees),
+                tuple(all_vals),
+                tuple(all_salts),
+                tuple(jnp.asarray(np.array(ix, np.int32)) for ix in all_idx),
             )
-        done = [materialize(t, idx, vps) for (t, idx, vps) in pend]
+            parts = fns["split_gathered"](
+                np.asarray(v_f), np.asarray(p_f), np.asarray(s_f)
+            )
+            done = [
+                (vals, openings_from_paths(idx, paths, tree.depth), s_np)
+                for tree, idx, (vals, paths, s_np)
+                in zip(all_trees, all_idx, parts)
+            ]
+        else:
+            # per-tree gathers (planar Pallas trees keep their own path)
+            pend = [
+                (trace_tree, trace_idx, dispatch(trace_tree, trace_lde, trace_idx, trace_salts)),
+                (quotient_tree, quot_idx, dispatch(quotient_tree, q_evals, quot_idx, quot_salts)),
+                (fri_trees[0], deep_idx,
+                 dispatch(fri_trees[0], fri_layers[0], deep_idx, fri_salts[0], ext)),
+            ]
+            for li in range(1, num_folds):
+                pend.append(
+                    (fri_trees[li], fri_idx[li - 1],
+                     dispatch(fri_trees[li], fri_layers[li], fri_idx[li - 1],
+                              fri_salts[li], ext))
+                )
+            done = [materialize(t, idx, vps) for (t, idx, vps) in pend]
         tr_vals, tr_proofs, tr_salts = done[0]
         q_vals, q_proofs, q_salts = done[1]
         d_vals, d_proofs, d_salts = done[2]
