@@ -52,6 +52,55 @@ def _rotr(x, n: int):
     return (x >> n) | (x << (32 - n))
 
 
+# ── constant-aware word arithmetic ──────────────────────────────────────────
+# The protocol's messages are mostly padding: a 25-byte salted leaf has 10
+# constant block words, the node hash's second block has 15. Carrying those
+# words as PYTHON INTS through the schedule lets the expansion fold at trace
+# time — every schedule word whose inputs are all constants costs zero device
+# ops, and a constant w_t folds into the round constant K[t]. The helpers
+# below operate on (array | int) operands and collapse to ints when possible;
+# arithmetic is identical to the array path (mod-2^32 adds, rotations), so
+# digests are byte-identical.
+
+def _is_c(x) -> bool:
+    return isinstance(x, int)
+
+
+def _c_rotr(x: int, n: int) -> int:
+    return ((x >> n) | (x << (32 - n))) & 0xFFFFFFFF
+
+
+def _sig0(x):
+    if _is_c(x):
+        return _c_rotr(x, 7) ^ _c_rotr(x, 18) ^ (x >> 3)
+    return _rotr(x, 7) ^ _rotr(x, 18) ^ (x >> 3)
+
+
+def _sig1(x):
+    if _is_c(x):
+        return _c_rotr(x, 17) ^ _c_rotr(x, 19) ^ (x >> 10)
+    return _rotr(x, 17) ^ _rotr(x, 19) ^ (x >> 10)
+
+
+def _m_add(*xs):
+    """Sum mod 2^32 of (array | int) terms; ints pre-fold into one constant."""
+    c = 0
+    arrs = []
+    for v in xs:
+        if _is_c(v):
+            c = (c + v) & 0xFFFFFFFF
+        else:
+            arrs.append(v)
+    if not arrs:
+        return c
+    out = arrs[0]
+    for v in arrs[1:]:
+        out = out + v
+    if c:
+        out = out + _U32(c)
+    return out
+
+
 def _prefer_unrolled() -> bool:
     """Unrolled compression on TPU, rolled elsewhere.
 
@@ -84,19 +133,26 @@ def _unrolled() -> bool:
 
 def compress_unrolled(state, block):
     """Fully unrolled compression (see `_prefer_unrolled`)."""
-    win = [block[..., t] for t in range(16)]
+    return compress_words_unrolled(state, [block[..., t] for t in range(16)])
+
+
+def compress_words_unrolled(state, win):
+    """Unrolled compression over a 16-entry word list whose entries are
+    arrays OR python-int constants (see the constant-aware helpers above)."""
+    win = list(win)
     a, b, c, d, e, f, g, h = (state[..., i] for i in range(8))
     for t in range(64):
         w_t = win[0]
         S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
-        t1 = h + S1 + ch + jnp.uint32(int(_K[t])) + w_t
+        if _is_c(w_t):
+            t1 = h + S1 + ch + _U32((int(_K[t]) + w_t) & 0xFFFFFFFF)
+        else:
+            t1 = h + S1 + ch + _U32(int(_K[t])) + w_t
         S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
         maj = (a & b) ^ (a & c) ^ (b & c)
         t2 = S0 + maj
-        s0 = _rotr(win[1], 7) ^ _rotr(win[1], 18) ^ (win[1] >> 3)
-        s1 = _rotr(win[14], 17) ^ _rotr(win[14], 19) ^ (win[14] >> 10)
-        new_w = win[0] + s0 + win[9] + s1
+        new_w = _m_add(win[0], _sig0(win[1]), win[9], _sig1(win[14]))
         win = win[1:] + [new_w]
         h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
     out = jnp.stack([a, b, c, d, e, f, g, h], axis=-1)
@@ -153,6 +209,29 @@ def sha256_blocks(blocks):
     return state
 
 
+def sha256_words(wins):
+    """Full SHA-256 over blocks given as 16-entry word LISTS (arrays or
+    python-int constants). The unrolled (TPU) path folds constant words
+    through the message schedule at trace time; the rolled (CPU) path
+    materializes them — identical bytes either way."""
+    ref = next(w for win in wins for w in win if not _is_c(w))
+    state = jnp.broadcast_to(jnp.asarray(_H0), (*ref.shape, 8))
+    if _unrolled():
+        for win in wins:
+            state = compress_words_unrolled(state, win)
+    else:
+        for win in wins:
+            block = jnp.stack(
+                [
+                    jnp.broadcast_to(_U32(w), ref.shape) if _is_c(w) else w
+                    for w in win
+                ],
+                axis=-1,
+            )
+            state = compress(state, block)
+    return state
+
+
 def pack_words(byte_arr):
     """(..., 4k) u8 -> (..., k) u32 big-endian words."""
     b = byte_arr.astype(_U32).reshape(*byte_arr.shape[:-1], byte_arr.shape[-1] // 4, 4)
@@ -186,41 +265,33 @@ def hash_salted_leaves(values, salts):
     if salts.dtype == jnp.uint8:
         salts = pack_words(salts)
     s0, s1, s2, s3 = (salts[..., k] for k in range(4))
-    z = jnp.zeros_like(v)
-    block = jnp.stack(
-        [
-            s0 >> 8,                                  # 0x00 tag + salt bytes
-            ((s0 & 0xFF) << 24) | (s1 >> 8),
-            ((s1 & 0xFF) << 24) | (s2 >> 8),
-            ((s2 & 0xFF) << 24) | (s3 >> 8),
-            ((s3 & 0xFF) << 24) | ((v & 0xFF) << 16)
-            | (((v >> 8) & 0xFF) << 8) | ((v >> 16) & 0xFF),
-            ((v >> 24) & 0xFF) << 24,
-            z + _U32(0x00800000),
-            z, z, z, z, z, z, z, z,
-            z + _U32(200),                            # 25-byte message
-        ],
-        axis=-1,
-    )
-    return sha256_blocks(block[..., None, :])
+    win = [
+        s0 >> 8,                                      # 0x00 tag + salt bytes
+        ((s0 & 0xFF) << 24) | (s1 >> 8),
+        ((s1 & 0xFF) << 24) | (s2 >> 8),
+        ((s2 & 0xFF) << 24) | (s3 >> 8),
+        ((s3 & 0xFF) << 24) | ((v & 0xFF) << 16)
+        | (((v >> 8) & 0xFF) << 8) | ((v >> 16) & 0xFF),
+        ((v >> 24) & 0xFF) << 24,
+        0x00800000,
+        0, 0, 0, 0, 0, 0, 0, 0,
+        200,                                          # 25-byte message
+    ]
+    return sha256_words([win])
 
 
 def hash_unsalted_leaves(values):
     """SHA256(0x00 || value8LE): the public final-FRI-layer leaves
     (src/fibonacci.rs:357-363)."""
     v = values.astype(_U32)
-    z = jnp.zeros_like(v)
-    block = jnp.stack(
-        [
-            ((v & 0xFF) << 16) | (((v >> 8) & 0xFF) << 8) | ((v >> 16) & 0xFF),
-            ((v >> 24) & 0xFF) << 24,
-            z + _U32(0x00800000),
-            z, z, z, z, z, z, z, z, z, z, z, z,
-            z + _U32(72),                             # 9-byte message
-        ],
-        axis=-1,
-    )
-    return sha256_blocks(block[..., None, :])
+    win = [
+        ((v & 0xFF) << 16) | (((v >> 8) & 0xFF) << 8) | ((v >> 16) & 0xFF),
+        ((v >> 24) & 0xFF) << 24,
+        0x00800000,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        72,                                           # 9-byte message
+    ]
+    return sha256_words([win])
 
 
 def _le8_words(v):
@@ -239,48 +310,40 @@ def hash_salted_leaves_ext(values, salts):
     if salts.dtype == jnp.uint8:
         salts = pack_words(salts)
     s0, s1, s2, s3 = (salts[..., k] for k in range(4))
-    z = jnp.zeros_like(s0)
     limbs = [_le8_words(v[..., k]) for k in range(4)]
-    block = jnp.stack(
-        [
-            s0 >> 8,                                  # 0x00 tag + salt bytes
-            ((s0 & 0xFF) << 24) | (s1 >> 8),
-            ((s1 & 0xFF) << 24) | (s2 >> 8),
-            ((s2 & 0xFF) << 24) | (s3 >> 8),
-            ((s3 & 0xFF) << 24) | (limbs[0] >> 8),
-            ((limbs[0] & 0xFF) << 24),                # hi half of limb 0 is 0
-            (limbs[1] >> 8),
-            ((limbs[1] & 0xFF) << 24),
-            (limbs[2] >> 8),
-            ((limbs[2] & 0xFF) << 24),
-            (limbs[3] >> 8),
-            ((limbs[3] & 0xFF) << 24),
-            z + _U32(0x00800000),                     # 0x80 pad at byte 49
-            z, z,
-            z + _U32(392),                            # 49-byte message
-        ],
-        axis=-1,
-    )
-    return sha256_blocks(block[..., None, :])
+    win = [
+        s0 >> 8,                                      # 0x00 tag + salt bytes
+        ((s0 & 0xFF) << 24) | (s1 >> 8),
+        ((s1 & 0xFF) << 24) | (s2 >> 8),
+        ((s2 & 0xFF) << 24) | (s3 >> 8),
+        ((s3 & 0xFF) << 24) | (limbs[0] >> 8),
+        ((limbs[0] & 0xFF) << 24),                    # hi half of limb 0 is 0
+        (limbs[1] >> 8),
+        ((limbs[1] & 0xFF) << 24),
+        (limbs[2] >> 8),
+        ((limbs[2] & 0xFF) << 24),
+        (limbs[3] >> 8),
+        ((limbs[3] & 0xFF) << 24),
+        0x00800000,                                   # 0x80 pad at byte 49
+        0, 0,
+        392,                                          # 49-byte message
+    ]
+    return sha256_words([win])
 
 
 def hash_unsalted_leaves_ext(values):
     """SHA256(0x00 || ext32LE): the public final-FRI-layer leaves of the
     extension-field mode. 33-byte message, one block."""
     v = values.astype(_U32)
-    z = jnp.zeros_like(v[..., 0])
     limbs = [_le8_words(v[..., k]) for k in range(4)]
     w = []
     for k in range(4):
         # tag/zero byte, then limb bytes 0-2; next word carries limb byte 3
         w.append(limbs[k] >> 8)
         w.append((limbs[k] & 0xFF) << 24)
-    w.append(z + _U32(0x00800000))                    # 0x80 pad at byte 33
-    block = jnp.stack(
-        w + [z] * 6 + [z + _U32(264)],                # 33-byte message
-        axis=-1,
-    )
-    return sha256_blocks(block[..., None, :])
+    w.append(0x00800000)                              # 0x80 pad at byte 33
+    win = w + [0] * 6 + [264]                         # 33-byte message
+    return sha256_words([win])
 
 
 def hash_salted_leaves_multi(values, salts):
@@ -296,7 +359,6 @@ def hash_salted_leaves_multi(values, salts):
     if salts.dtype == jnp.uint8:
         salts = pack_words(salts)
     s = [salts[..., j] for j in range(4)]
-    z = jnp.zeros_like(s[0])
     msg_len = 17 + 8 * kcols
     nb = (msg_len + 9 + 63) // 64
     bitlen = msg_len * 8
@@ -322,12 +384,11 @@ def hash_salted_leaves_multi(values, salts):
         if wi == 16 * nb - 1:
             const |= bitlen
         if acc is None:
-            acc = (z + _U32(const)) if const else z
+            acc = const                               # python-int word: folds
         elif const:
             acc = acc | _U32(const)
         words.append(acc)
-    block = jnp.stack(words, axis=-1).reshape(*z.shape, nb, 16)
-    return sha256_blocks(block)
+    return sha256_words([words[b * 16:(b + 1) * 16] for b in range(nb)])
 
 
 def hash_nodes(left, right):
@@ -335,19 +396,18 @@ def hash_nodes(left, right):
     (src/merkle.rs:117-123). 65-byte message -> two blocks."""
     l = [left[..., k] for k in range(8)]
     r = [right[..., k] for k in range(8)]
-    z = jnp.zeros_like(l[0])
-    w = [(z + _U32(0x01 << 24)) | (l[0] >> 8)]
+    w = [(l[0] >> 8) | _U32(0x01 << 24)]
     for i in range(1, 8):
         w.append(((l[i - 1] & 0xFF) << 24) | (l[i] >> 8))
     w.append(((l[7] & 0xFF) << 24) | (r[0] >> 8))
     for i in range(1, 8):
         w.append(((r[i - 1] & 0xFF) << 24) | (r[i] >> 8))
-    block1 = jnp.stack(w, axis=-1)
+    # block 2 carries ONE variable byte (the last byte of `right`) — the
+    # other 15 words are constants the schedule folds through at trace time
     w2 = [((r[7] & 0xFF) << 24) | _U32(0x00800000)]
-    w2 += [z] * 14
-    w2.append(z + _U32(520))                          # 65-byte message
-    block2 = jnp.stack(w2, axis=-1)
-    return sha256_blocks(jnp.stack([block1, block2], axis=-2))
+    w2 += [0] * 14
+    w2.append(520)                                    # 65-byte message
+    return sha256_words([w, w2])
 
 
 # ── host boundary helpers ───────────────────────────────────────────────────
