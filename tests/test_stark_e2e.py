@@ -218,6 +218,82 @@ def test_fuzz_verifier_rejects_random_mutations(valid_proof):
     assert rejected == 30, f"only {rejected}/30 mutations rejected"
 
 
+def test_opening_position_binding(valid_proof):
+    """An opening's Merkle path must prove the DERIVED index, not whatever
+    position its flags happen to encode: a donor opening (valid path for a
+    different position) relabeled with the expected index must be rejected,
+    as must a depth-truncated path. Without this binding a malicious prover
+    could answer query i with the committed value at a position of its own
+    choosing, voiding FRI's random spot-checking."""
+    from toyni_tpu.verifier import _verify_opening
+
+    op = valid_proof.query_proofs[0].quotient_opening
+    donor = valid_proof.query_proofs[1].quotient_opening
+    root = valid_proof.quotient_commitment
+    N = valid_proof.lde_size
+    assert op.index != donor.index  # squeeze_indices dedups
+    assert _verify_opening(op, root, op.index, N)
+
+    relabeled = copy.deepcopy(donor)
+    relabeled.index = op.index
+    assert not _verify_opening(relabeled, root, op.index, N)
+
+    short = copy.deepcopy(op)
+    short.proof.path = short.proof.path[:-1]
+    short.proof.position = short.proof.position[:-1]
+    assert not _verify_opening(short, root, op.index, N)
+
+
+def test_fuzz_wire_format_hostile_blobs(valid_proof):
+    """Byte-level fuzz of the SERIALIZED proof: random bit flips, truncations,
+    count-field corruption, and garbage prefixes must either raise ValueError
+    from `deserialize` (bounds-checked reads — never hang on a hostile count
+    field) or decode to a proof the verifier rejects. A decoded proof that
+    verifies must be semantically identical to the original (canonical
+    re-serialization equality) — e.g. a non-canonical position-flag byte."""
+    import random
+
+    blob = proof_mod.serialize(valid_proof)
+    canonical = blob
+    v = StarkVerifier()
+    rng = random.Random(0xB10B)
+
+    def outcome(data) -> str:
+        try:
+            back = proof_mod.deserialize(data)
+        except ValueError:
+            return "raised"
+        return "verified" if v.verify(back) else "rejected"
+
+    # bit flips anywhere in the blob
+    for _ in range(60):
+        b = bytearray(blob)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        out = outcome(bytes(b))
+        if out == "verified":
+            back = proof_mod.deserialize(bytes(b))
+            assert proof_mod.serialize(back) == canonical, (
+                "mutated blob verified with different semantics"
+            )
+    # truncations (always invalid: data is lost)
+    for _ in range(20):
+        cut = rng.randrange(len(blob))
+        assert outcome(blob[:cut]) in ("raised", "rejected")
+    # corrupt a count field to a huge value (must not hang / overallocate)
+    for _ in range(20):
+        b = bytearray(blob)
+        off = rng.randrange(len(b) - 4)
+        b[off:off + 4] = (0xFFFFFFF0).to_bytes(4, "little")
+        if outcome(bytes(b)) == "verified":
+            back = proof_mod.deserialize(bytes(b))
+            assert proof_mod.serialize(back) == canonical
+    # pure garbage
+    for _ in range(10):
+        assert outcome(rng.randbytes(rng.randrange(1, 4096))) in (
+            "raised", "rejected"
+        )
+
+
 # ── extension-field soundness mode (ext_challenges=True) ────────────────────
 #
 # z and the FRI betas come from F_p^4 (~124-bit challenge space); the DEEP

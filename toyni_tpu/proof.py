@@ -116,9 +116,32 @@ def _r_scalar(buf, ext: bool):
 def _w_u16(buf, v): buf.write(struct.pack("<H", v))
 def _w_u32(buf, v): buf.write(struct.pack("<I", v))
 def _w_u64(buf, v): buf.write(struct.pack("<Q", v))
-def _r_u16(buf): return struct.unpack("<H", buf.read(2))[0]
-def _r_u32(buf): return struct.unpack("<I", buf.read(4))[0]
-def _r_u64(buf): return struct.unpack("<Q", buf.read(8))[0]
+def _r_u16(buf): return struct.unpack("<H", _r_bytes(buf, 2))[0]
+def _r_u32(buf): return struct.unpack("<I", _r_bytes(buf, 4))[0]
+def _r_u64(buf): return struct.unpack("<Q", _r_bytes(buf, 8))[0]
+
+
+# Deserialization is hostile-input hardened: every read is bounds-checked and
+# every count field is validated against the bytes actually remaining, so a
+# corrupt blob raises ValueError promptly instead of looping ~2^32 times on
+# an exhausted buffer or silently yielding short reads. (The verifier is the
+# soundness boundary; this is the availability boundary.)
+
+def _r_bytes(buf, n: int) -> bytes:
+    b = buf.read(n)
+    if len(b) != n:
+        raise ValueError("truncated proof")
+    return b
+
+
+def _r_count(buf, item_min_bytes: int) -> int:
+    """Read a u32 element count and reject it unless `count * minimum
+    per-element size` fits in the remaining buffer."""
+    n = _r_u32(buf)
+    remaining = buf.getbuffer().nbytes - buf.tell()
+    if n * item_min_bytes > remaining:
+        raise ValueError("corrupt proof: count exceeds remaining bytes")
+    return n
 
 
 def _write_opening(buf, op: MerkleOpening, v2: bool = False):
@@ -144,19 +167,19 @@ def _write_opening(buf, op: MerkleOpening, v2: bool = False):
 def _read_opening(buf, v2: bool = False) -> MerkleOpening:
     index = _r_u64(buf)
     if v2:
-        nlimbs = _r_u32(buf)
+        nlimbs = _r_count(buf, 8)
         if nlimbs > 1:
             value = tuple(_r_u64(buf) for _ in range(nlimbs))
         else:
             value = _r_u64(buf)
     else:
         value = _r_u64(buf)
-    salt = buf.read(_r_u32(buf))
-    n = _r_u32(buf)
+    salt = _r_bytes(buf, _r_count(buf, 1))
+    n = _r_count(buf, 33)
     path, position = [], []
     for _ in range(n):
-        path.append(buf.read(32))
-        position.append(buf.read(1) == b"\x01")
+        path.append(_r_bytes(buf, 32))
+        position.append(_r_bytes(buf, 1) == b"\x01")
     return MerkleOpening(index, value, MerkleProof(path, position), salt)
 
 
@@ -213,10 +236,12 @@ def serialize(proof: StarkProof) -> bytes:
 
 def deserialize(data: bytes) -> StarkProof:
     buf = io.BytesIO(data)
-    assert buf.read(4) == _MAGIC, "bad magic"
+    if _r_bytes(buf, 4) != _MAGIC:
+        raise ValueError("bad magic")
     version = _r_u16(buf)
-    assert version in (_VERSION, _VERSION_EXT, _VERSION_MULTI,
-                       _VERSION_MULTI_EXT), "unsupported proof version"
+    if version not in (_VERSION, _VERSION_EXT, _VERSION_MULTI,
+                       _VERSION_MULTI_EXT):
+        raise ValueError("unsupported proof version")
     ext = version in (_VERSION_EXT, _VERSION_MULTI_EXT)
     multi = version in (_VERSION_MULTI, _VERSION_MULTI_EXT)
     v2 = ext or multi
@@ -224,8 +249,13 @@ def deserialize(data: bytes) -> StarkProof:
     lde_size = _r_u64(buf)
     k = _r_u16(buf) if multi else 1
     ns = _r_u16(buf) if multi else 3
-    trace_commitment = buf.read(32)
-    quotient_commitment = buf.read(32)
+    scalar_bytes = 32 if ext else 8
+    if multi:
+        remaining = buf.getbuffer().nbytes - buf.tell()
+        if (ns * k + 1) * scalar_bytes > remaining:
+            raise ValueError("corrupt proof: OOD block exceeds remaining bytes")
+    trace_commitment = _r_bytes(buf, 32)
+    quotient_commitment = _r_bytes(buf, 32)
     if multi:
         ood_trace = tuple(
             tuple(_r_scalar(buf, ext) for _ in range(k)) for _ in range(ns)
@@ -235,10 +265,12 @@ def deserialize(data: bytes) -> StarkProof:
     else:
         ood_trace = None
         t_z, t_gz, t_ggz, q_z = (_r_scalar(buf, ext) for _ in range(4))
-    fri_commitments = [buf.read(32) for _ in range(_r_u32(buf))]
-    fri_final_layer = [_r_scalar(buf, ext) for _ in range(_r_u32(buf))]
+    fri_commitments = [_r_bytes(buf, 32) for _ in range(_r_count(buf, 32))]
+    fri_final_layer = [
+        _r_scalar(buf, ext) for _ in range(_r_count(buf, scalar_bytes))
+    ]
     query_proofs = []
-    for _ in range(_r_u32(buf)):
+    for _ in range(_r_count(buf, 8)):
         index = _r_u64(buf)
         deep_a = _read_opening(buf, v2)
         deep_b = _read_opening(buf, v2)
@@ -250,7 +282,7 @@ def deserialize(data: bytes) -> StarkProof:
             t0, tg, tgg = (_read_opening(buf, v2) for _ in range(3))
         quot = _read_opening(buf, v2)
         fri_openings = []
-        for _ in range(_r_u32(buf)):
+        for _ in range(_r_count(buf, 2 * 20)):
             a = _read_opening(buf, v2)
             b = _read_opening(buf, v2)
             fri_openings.append((a, b))

@@ -30,8 +30,29 @@ def _value_bytes(value) -> bytes:
     return int(value).to_bytes(8, "little")
 
 
-def _verify_opening(opening: MerkleOpening, root: bytes) -> bool:
-    """Leaf = salt || value bytes (src/verifier.rs:235-238)."""
+def _verify_opening(
+    opening: MerkleOpening, root: bytes,
+    expected_index: int = None, tree_size: int = None,
+) -> bool:
+    """Leaf = salt || value bytes (src/verifier.rs:235-238).
+
+    POSITION BINDING (stricter than the reference): the path's position flags
+    are the binary expansion of the leaf index (LSB-first), so they must
+    encode exactly `expected_index`, and the path must span the full tree
+    depth. Without this, the flags — not the stored index — decide which
+    committed position the path proves, and a malicious prover could answer
+    query i with the committed value at a position of its own choosing,
+    voiding FRI's random spot-checking. (The stored `opening.index` is also
+    pinned, making proof bytes non-malleable.)"""
+    if expected_index is not None:
+        if opening.index != expected_index:
+            return False
+        for l, flag in enumerate(opening.proof.position):
+            if flag != bool((expected_index >> l) & 1):
+                return False
+    if tree_size is not None:
+        if len(opening.proof.path) != (tree_size - 1).bit_length():
+            return False
     leaf = opening.salt + _value_bytes(opening.value)
     return verify_merkle_proof(leaf, opening.proof, root)
 
@@ -240,30 +261,28 @@ class StarkVerifier:
                     v = op.value if isinstance(op.value, tuple) else (op.value,)
                     if len(v) != k:
                         return False
-                    if not _verify_opening(op, proof.trace_commitment):
-                        return False
-                    if op.index != (qi + s * cfg.blowup) % N:
+                    if not _verify_opening(op, proof.trace_commitment,
+                                           (qi + s * cfg.blowup) % N, N):
                         return False
                     t_opens.append(v)
             else:
-                for op in (qp.trace_opening, qp.trace_opening_g, qp.trace_opening_gg):
-                    if not _verify_opening(op, proof.trace_commitment):
+                for s, op in enumerate((qp.trace_opening, qp.trace_opening_g,
+                                        qp.trace_opening_gg)):
+                    if not _verify_opening(op, proof.trace_commitment,
+                                           (qi + s * cfg.blowup) % N, N):
                         return False
-                if (
-                    qp.trace_opening.index != qi
-                    or qp.trace_opening_g.index != (qi + cfg.blowup) % N
-                    or qp.trace_opening_gg.index != (qi + 2 * cfg.blowup) % N
-                ):
-                    return False
 
             # 6b. quotient opening
-            if not _verify_opening(qp.quotient_opening, proof.quotient_commitment):
+            if not _verify_opening(qp.quotient_opening,
+                                   proof.quotient_commitment, qi, N):
                 return False
 
             # 6c. DEEP layer openings
-            if not _verify_opening(qp.deep_opening, proof.fri_commitments[0]):
+            if not _verify_opening(qp.deep_opening, proof.fri_commitments[0],
+                                   qi, N):
                 return False
-            if not _verify_opening(qp.deep_opening_pair, proof.fri_commitments[0]):
+            if not _verify_opening(qp.deep_opening_pair,
+                                   proof.fri_commitments[0], qi + half0, N):
                 return False
 
             # 6d. DEEP reconstruction from opened + OOD values
@@ -314,9 +333,11 @@ class StarkVerifier:
                 lo = pos % half
                 in_first_half = pos == lo
 
-                if not _verify_opening(op, proof.fri_commitments[fold_k]):
+                if not _verify_opening(op, proof.fri_commitments[fold_k],
+                                       lo, layer_size):
                     return False
-                if not _verify_opening(op_pair, proof.fri_commitments[fold_k]):
+                if not _verify_opening(op_pair, proof.fri_commitments[fold_k],
+                                       lo + half, layer_size):
                     return False
 
                 if in_first_half:
