@@ -29,7 +29,11 @@ AXIS = "shards"
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
-        devices = jax.devices()
+        # host-major ordering: each process's devices contiguous on the shard
+        # axis, so contiguous sub-blocks of every collective stay on-host in
+        # multi-process runs (see parallel/multihost.py); identical to the
+        # id ordering in single-process runs
+        devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
         if n_devices is not None and len(devices) < n_devices:
             # fall back to the (virtual) CPU backend for mesh emulation —
             # the testing analog of real multi-chip hardware

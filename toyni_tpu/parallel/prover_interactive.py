@@ -260,15 +260,18 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
             out_specs=(cyc, cyc), check_vma=False,
         ))
 
-    tables = dict(
-        x=jnp.asarray(x_cyc),
-        zh=jnp.asarray(zh_inv_tile),
-        xs0=jnp.asarray(xs_inv0),
-        shiftf=jnp.asarray(shift_fwd),
-        shiftb=jnp.asarray(shift_bwd),
-        W=jnp.asarray(plan["W"]),
-        W_inv=jnp.asarray(plan["W_inv"]),
+    # explicit global shardings so every process contributes its addressable
+    # shards (required in multi-process runs; a no-op placement single-process)
+    tspec = dict(x=cyc, zh=cyc, xs0=cyc, shiftf=blk, shiftb=blk,
+                 W=Pspec(None, AXIS), W_inv=Pspec(None, AXIS))
+    traw = dict(
+        x=x_cyc, zh=zh_inv_tile, xs0=xs_inv0, shiftf=shift_fwd,
+        shiftb=shift_bwd, W=plan["W"], W_inv=plan["W_inv"],
     )
+    tables = {
+        k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, tspec[k]))
+        for k, v in traw.items()
+    }
     return dict(
         mesh=mesh, commit=commit, ood=ood, deep=deep,
         layer_commit=layer_commit_fn, fold=fold_fn, tables=tables,
@@ -280,19 +283,25 @@ class _DistTree:
     """Global tree view: list of levels (mixed block-sharded / replicated
     jax arrays), natural leaf order, plus the cyclic value/salt arrays."""
 
-    def __init__(self, lo, top, values_cyc, salts_cyc):
+    def __init__(self, lo, top, values_cyc, salts_cyc, mesh=None):
         self.levels = list(lo) + list(top)
         self.values = values_cyc  # (D, m) cyclic
         self.salts = salts_cyc    # (D, m, 4) cyclic or None
+        self.mesh = mesh
 
     def root(self) -> bytes:
         return sha.digest_bytes(np.asarray(self.levels[-1], np.uint32)[0])
 
     def open_at(self, indices) -> tuple:
         """Gather values, salts, sibling paths for global indices (host list).
-        Runs as plain jnp ops on the sharded global level arrays — XLA routes
-        the cross-shard gathers; only the opened handful crosses to host."""
+        Runs as jnp ops on the sharded global level arrays — XLA routes the
+        cross-shard gathers; only the opened handful crosses to host. In
+        multi-process runs the gather is jitted with REPLICATED output
+        shardings so every process can materialize the result (a plain eager
+        pull of a non-fully-addressable array raises)."""
         idx = np.asarray(indices, np.int64)
+        if self.mesh is not None and jax.process_count() > 1:
+            return self._open_at_multiprocess(idx)
         vals = np.asarray(
             jnp.asarray(self.values)[idx % self.values.shape[0],
                                      idx // self.values.shape[0]],
@@ -313,6 +322,34 @@ class _DistTree:
             paths.append(np.asarray(jnp.take(level, jnp.asarray(cur ^ 1), axis=0), np.uint32))
             cur >>= 1
         paths_np = np.stack(paths, axis=1)  # (Q, depth, 8)
+        return vals, salts, paths_np
+
+    def _open_at_multiprocess(self, idx: np.ndarray) -> tuple:
+        rep = NamedSharding(self.mesh, Pspec())
+        idx_j = jnp.asarray(idx)
+        D = self.values.shape[0]
+        salted = self.salts is not None
+
+        def gather(values, salts, *levels):
+            v = values[idx_j % D, idx_j // D]
+            paths = []
+            cur = idx_j
+            for level in levels:
+                paths.append(jnp.take(level, cur ^ 1, axis=0))
+                cur = cur >> 1
+            p = jnp.stack(paths, axis=1)
+            if salted:
+                return v, p, salts[idx_j % D, idx_j // D]
+            return v, p, jnp.zeros((idx_j.shape[0], 4), jnp.uint32)
+
+        out = jax.jit(gather, out_shardings=(rep, rep, rep))(
+            self.values,
+            self.salts if salted else jnp.zeros((D, 1, 4), jnp.uint32),
+            *self.levels[:-1],
+        )
+        vals = np.asarray(out[0], np.uint64)
+        paths_np = np.asarray(out[1], np.uint32)
+        salts = np.asarray(out[2], np.uint64) if salted else None
         return vals, salts, paths_np
 
 
@@ -350,15 +387,19 @@ class DistributedStarkProver:
                 jnp.asarray(arr), NamedSharding(mesh, Pspec(AXIS, *([None] * (arr.ndim - 1))))
             )
 
+        rep_sh = NamedSharding(mesh, Pspec())
+
         # randomness, in the single-prover's exact draw order
         m_deg = cfg.mask_degree
-        r_mask = jnp.asarray(
+        r_mask = jax.device_put(jnp.asarray(
             self.rng.integers(0, P, m_deg, dtype=np.uint64).astype(np.uint32)
-        )
+        ), rep_sh)
         trace_salts_np = self._salts_np(N)
         quot_salts_np = self._salts_np(N)
 
-        trace_col = jnp.asarray(self.trace.columns[0].astype(np.uint32))
+        trace_col = jax.device_put(
+            jnp.asarray(self.trace.columns[0].astype(np.uint32)), rep_sh
+        )
         trace_salts = shard_cyc(trace_salts_np)
         quot_salts = shard_cyc(quot_salts_np)
 
@@ -367,9 +408,9 @@ class DistributedStarkProver:
             tb["x"], tb["zh"], tb["shiftf"], tb["W"], tb["W_inv"], tb["shiftb"],
         )
         trace_tree = _DistTree(out["t_lo"], out["t_top"], out["trace_lde"],
-                               trace_salts)
+                               trace_salts, mesh)
         quot_tree = _DistTree(out["q_lo"], out["q_top"], out["q_evals"],
-                              quot_salts)
+                              quot_salts, mesh)
         trace_root = trace_tree.root()
         quotient_root = quot_tree.root()
 
@@ -405,7 +446,7 @@ class DistributedStarkProver:
         salts0_np = self._salts_np(N)
         salts0 = shard_cyc(salts0_np)
         lv = ph["layer_commit"](N, True)(d_evals, salts0)
-        tree0 = _DistTree(lv["lo"], lv["top"], d_evals, salts0)
+        tree0 = _DistTree(lv["lo"], lv["top"], d_evals, salts0, mesh)
         root0 = tree0.root()
         transcript.absorb_commitment(root0)
         fri_commitments.append(root0)
@@ -421,18 +462,22 @@ class DistributedStarkProver:
             size //= 2
             if size == final_size:
                 lv = ph["layer_commit"](size, False)(current)
-                tree = _DistTree(lv["lo"], lv["top"], current, None)
+                tree = _DistTree(lv["lo"], lv["top"], current, None, mesh)
             else:
                 salts_np = self._salts_np(size)
                 salts = shard_cyc(salts_np)
                 lv = ph["layer_commit"](size, True)(current, salts)
-                tree = _DistTree(lv["lo"], lv["top"], current, salts)
+                tree = _DistTree(lv["lo"], lv["top"], current, salts, mesh)
             root = tree.root()
             transcript.absorb_commitment(root)
             fri_commitments.append(root)
             fri_trees.append(tree)
 
-        final_cyc = np.asarray(current, np.uint64)  # (D, final/D)
+        if jax.process_count() > 1:
+            current_rep = jax.jit(lambda a: a, out_shardings=rep_sh)(current)
+            final_cyc = np.asarray(current_rep, np.uint64)  # (D, final/D)
+        else:
+            final_cyc = np.asarray(current, np.uint64)  # (D, final/D)
         fri_final_layer = [
             int(v) for v in final_cyc.swapaxes(0, 1).reshape(-1)
         ]
