@@ -22,6 +22,22 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 CPU_DEVICES = jax.local_devices(backend="cpu")
 jax.config.update("jax_default_device", CPU_DEVICES[0])
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    This deployment's XLA:CPU segfaults/aborts while compiling (or cache-
+    serializing) a shard_map program once ~20 modules' worth of compiled
+    executables have accumulated in the process — reproducible at the same
+    test with the prior modules run first, and absent when any module runs
+    alone. Clearing jit caches at module boundaries keeps the live-executable
+    count low. Costs recompiles for shapes shared across modules (most are
+    module-local)."""
+    yield
+    jax.clear_caches()
