@@ -3,7 +3,7 @@
 The reference has no CLI (its "application" is the test suite); a production
 framework needs one. Commands:
 
-  prove   --rows N [--air fib|pair|sbox] [--ext] [--out proof.bin]
+  prove   --rows N [--air fib|pair|sbox] [--ext] [--fused] [--out proof.bin]
           [--seed S] [--profile]
           prove a bundled-AIR trace of N rows, write the serialized proof
   verify  --in proof.bin [--air fib|pair|sbox]
@@ -65,8 +65,12 @@ def cmd_prove(args) -> int:
 
     air, t, deg = _make_air(args.air, args.rows)
     cfg = StarkConfig(ext_challenges=args.ext, constraint_degree=deg)
+    if args.fused:
+        from toyni_tpu.prover_fused import FusedStarkProver as prover_cls
+    else:
+        prover_cls = StarkProver
     t0 = time.perf_counter()
-    proof = StarkProver(t, air=air, config=cfg, seed=args.seed).generate_proof()
+    proof = prover_cls(t, air=air, config=cfg, seed=args.seed).generate_proof()
     dt = time.perf_counter() - t0
     blob = proof_mod.serialize(proof)
     with open(args.out, "wb") as f:
@@ -144,6 +148,11 @@ def main(argv=None) -> int:
     pp.add_argument(
         "--ext", action="store_true",
         help="extension-field soundness mode (z, betas from F_p^4)",
+    )
+    pp.add_argument(
+        "--fused", action="store_true",
+        help="single-dispatch prover: whole proof (incl. the Fiat-Shamir "
+             "transcript) as one device program; byte-identical proofs",
     )
     pp.set_defaults(fn=cmd_prove)
 
