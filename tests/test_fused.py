@@ -150,6 +150,20 @@ def test_fused_multi_air_byte_identical():
     assert StarkVerifier(air=air).verify(p2)
 
 
+def test_fused_batch_byte_identical():
+    from toyni_tpu.prover_fused import FusedBatchStarkProver
+
+    seeds = [11, 12, 13]
+    batch = FusedBatchStarkProver(
+        [_fib_trace(64) for _ in seeds], seeds=seeds
+    ).generate_proofs()
+    v = StarkVerifier()
+    for i, s in enumerate(seeds):
+        ref = StarkProver(_fib_trace(64), seed=s).generate_proof()
+        assert v.verify(batch[i])
+        assert proof_mod.serialize(batch[i]) == proof_mod.serialize(ref)
+
+
 def test_fused_multi_ext_combination():
     from toyni_tpu.air import PairFibonacciAir
 

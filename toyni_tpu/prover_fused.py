@@ -48,6 +48,17 @@ _U32 = jnp.uint32
 _DEFAULT_AIR = FibonacciAir()
 
 
+def _draw_key(rng) -> list:
+    """Raw threefry key words for the NEXT salt draw — the same uint64 the
+    phase-based prover feeds jax.random.PRNGKey. Without x64, PRNGKey
+    truncates the seed to its low 32 bits (hi word 0); replicate that
+    exactly so salts — and therefore proofs — are byte-identical."""
+    kk = int(rng.integers(0, 2**63))
+    if jax.config.jax_enable_x64:  # pragma: no cover — not this deployment
+        return [kk >> 32, kk & 0xFFFFFFFF]
+    return [0, kk & 0xFFFFFFFF]
+
+
 def _salt_bits(key2, size: int):
     """(size, 4) u32 salt words from a raw (2,) threefry key — the same draw
     StarkProver._salts makes (jax.random.bits on a PRNGKey), with the key
@@ -397,6 +408,7 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
 
     return dict(
         prove=jax.jit(prove),
+        prove_raw=prove,
         split_gathered=split_gathered,
         tables=tables,
         gspec=gspec,
@@ -404,6 +416,147 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         num_folds=num_folds,
         g=g,
         multi=multi,
+    )
+
+
+def _assemble_proof(air, n: int, N: int, blowup: int, k: int, nc: int,
+                    ns: int, ext: bool, fns, out) -> StarkProof:
+    """Host-side proof assembly from the fused program's materialized numpy
+    outputs (one proof's worth); mirrors prover.py's assembly int math."""
+    from .ops import sha256 as sha
+
+    multi = fns["multi"]
+    num_folds = fns["num_folds"]
+    trace_root = sha.digest_bytes(out["trace_root"])
+    quotient_root = sha.digest_bytes(out["quot_root"])
+    ood_np = out["ood"].astype(np.uint64)
+    z_np = out["z"].astype(np.uint64)
+    fri_commitments = [
+        sha.digest_bytes(out["fri_roots"][i])
+        for i in range(out["fri_roots"].shape[0])
+    ]
+    final_np = out["final_layer"].astype(np.uint64)
+    query_indices = [int(v) for v in out["qidx"]]
+    alphas = (
+        tuple(int(v) for v in out["alphas"].astype(np.uint64))
+        if nc > 1 else ()
+    )
+    parts = fns["split_gathered"](out["vals"], out["paths"], out["salts"])
+
+    # host scalar forms of z / OOD / final layer
+    if ext:
+        z = tuple(int(v) for v in z_np)
+        ood_scalars = [tuple(int(v) for v in row) for row in ood_np]
+        fri_final_layer = [tuple(int(v) for v in row) for row in final_np]
+    else:
+        z = int(z_np)
+        ood_scalars = [int(v) for v in ood_np]
+        fri_final_layer = [int(v) for v in final_np]
+    q_z = ood_scalars[ns * k]
+    ood_trace = tuple(
+        tuple(ood_scalars[s * k + c] for c in range(k)) for s in range(ns)
+    )
+
+    # ── prover-side sanity check at z (fibonacci.rs:169-177) ──────────────
+    g = fns["g"]
+    domain = Domain.new(n)
+    t_scalars = [ood_trace[s] if k > 1 else ood_trace[s][0] for s in range(ns)]
+    if ext:
+        c_z = (
+            air.constraint_at_ext(t_scalars, z, g, n, alphas)
+            if nc > 1 else air.constraint_at_ext(t_scalars, z, g, n)
+        )
+        z_z = extf.h_sub(extf.h_pow(z, n), extf.H_ONE)
+        ok = c_z == extf.h_mul(q_z, z_z)
+    else:
+        c_z = (
+            air.constraint_at(t_scalars, z, g, n, alphas)
+            if nc > 1 else air.constraint_at(t_scalars, z, g, n)
+        )
+        ok = c_z == q_z * domain.eval_vanishing(z) % P
+    if not ok:
+        raise ValueError("Constraint check at z failed — invalid trace")
+
+    # ── proof assembly (host int math mirrors prover.py) ──────────────────
+    half0 = N // 2
+    trace_idx, deep_idx = [], []
+    for qi in query_indices:
+        trace_idx += [(qi + s * blowup) % N for s in range(ns)]
+        deep_idx += [qi, qi + half0]
+    quot_idx = list(query_indices)
+    fri_idx = []
+    cur = list(query_indices)
+    for s in fns["fri_sizes"]:
+        half = s // 2
+        cur = [i % half for i in cur]
+        fri_idx.append([v for i in cur for v in (i, i + half)])
+
+    all_idx = [trace_idx, quot_idx, deep_idx] + fri_idx
+    done = []
+    for t, idx, (vals, paths, salts) in zip(fns["gspec"], all_idx, parts):
+        done.append((vals, openings_from_paths(idx, paths, t["depth"]), salts))
+    tr_vals, tr_proofs, tr_salts = done[0]
+    q_vals, q_proofs, q_salts = done[1]
+    d_vals, d_proofs, d_salts = done[2]
+    fri_done = done[3:]
+
+    def mk_open(indices, vals, proofs, salts_np, j):
+        salt = b"".join(int(w).to_bytes(4, "big") for w in salts_np[j])
+        v = vals[j]
+        value = tuple(int(x) for x in v) if np.ndim(v) else int(v)
+        return MerkleOpening(indices[j], value, proofs[j], salt)
+
+    query_proofs = []
+    for q, qi in enumerate(query_indices):
+        fri_openings = []
+        for li in range(1, num_folds):
+            vals, proofs, g_salts = fri_done[li - 1]
+            fri_openings.append(
+                (mk_open(fri_idx[li - 1], vals, proofs, g_salts, 2 * q),
+                 mk_open(fri_idx[li - 1], vals, proofs, g_salts, 2 * q + 1))
+            )
+        qp = dict(
+            index=qi,
+            deep_opening=mk_open(deep_idx, d_vals, d_proofs, d_salts, 2 * q),
+            deep_opening_pair=mk_open(deep_idx, d_vals, d_proofs, d_salts, 2 * q + 1),
+            quotient_opening=mk_open(quot_idx, q_vals, q_proofs, q_salts, q),
+            fri_openings=fri_openings,
+        )
+        trace_ops = [
+            mk_open(trace_idx, tr_vals, tr_proofs, tr_salts, ns * q + s)
+            for s in range(ns)
+        ]
+        if multi:
+            qp.update(
+                trace_opening=None, trace_opening_g=None,
+                trace_opening_gg=None, trace_openings=trace_ops,
+            )
+        else:
+            qp.update(
+                trace_opening=trace_ops[0],
+                trace_opening_g=trace_ops[1],
+                trace_opening_gg=trace_ops[2],
+            )
+        query_proofs.append(QueryProof(**qp))
+
+    common = dict(
+        trace_len=n, lde_size=N,
+        trace_commitment=trace_root,
+        quotient_commitment=quotient_root,
+        q_z=q_z,
+        fri_commitments=fri_commitments,
+        fri_final_layer=fri_final_layer,
+        query_proofs=query_proofs,
+        ext=ext,
+    )
+    if multi:
+        return StarkProof(
+            t_z=None, t_gz=None, t_ggz=None,
+            ood_trace=ood_trace, num_columns=k, num_shifts=ns, **common,
+        )
+    return StarkProof(
+        t_z=ood_scalars[0], t_gz=ood_scalars[1], t_ggz=ood_scalars[2],
+        **common,
     )
 
 
@@ -422,16 +575,6 @@ class FusedStarkProver:
         self.air = air or _DEFAULT_AIR
         self.config = config
         self.rng = np.random.default_rng(seed)
-
-    def _key_np(self) -> np.ndarray:
-        """Raw threefry key for the NEXT salt draw — the same uint64 the
-        phase-based prover feeds jax.random.PRNGKey. Without x64, PRNGKey
-        truncates the seed to its low 32 bits (hi word 0); replicate that
-        exactly so salts — and therefore proofs — are byte-identical."""
-        k = int(self.rng.integers(0, 2**63))
-        if jax.config.jax_enable_x64:  # pragma: no cover — not this deployment
-            return np.array([k >> 32, k & 0xFFFFFFFF], np.uint32)
-        return np.array([0, k & 0xFFFFFFFF], np.uint32)
 
     def generate_proof(self) -> StarkProof:
         cfg = self.config
@@ -461,163 +604,88 @@ class FusedStarkProver:
                     0, P, (k, m) if multi else m, dtype=np.uint64
                 ).astype(np.uint32).reshape(k, m)
             )
-            salt_keys = jnp.asarray(
-                np.stack([self._key_np() for _ in range(2 + num_folds)])
-            )
+            salt_keys = jnp.asarray(np.array(
+                [_draw_key(self.rng) for _ in range(2 + num_folds)], np.uint32
+            ))
             trace_cols = jnp.asarray(
                 np.stack(self.trace.columns).astype(np.uint32)
             )
             out = fns["prove"](trace_cols, r_masks, salt_keys, fns["tables"])
+            out_np = {key: np.asarray(v) for key, v in out.items()}
 
-            from .ops import sha256 as sha
-
-            trace_root = sha.digest_bytes(np.asarray(out["trace_root"]))
-            quotient_root = sha.digest_bytes(np.asarray(out["quot_root"]))
-            ood_np = np.asarray(out["ood"], np.uint64)
-            z_np = np.asarray(out["z"], np.uint64)
-            fri_roots_np = np.asarray(out["fri_roots"])
-            fri_commitments = [
-                sha.digest_bytes(fri_roots_np[i])
-                for i in range(fri_roots_np.shape[0])
-            ]
-            final_np = np.asarray(out["final_layer"], np.uint64)
-            query_indices = [int(v) for v in np.asarray(out["qidx"])]
-            alphas = (
-                tuple(int(v) for v in np.asarray(out["alphas"], np.uint64))
-                if nc > 1 else ()
-            )
-            parts = fns["split_gathered"](
-                np.asarray(out["vals"]), np.asarray(out["paths"]),
-                np.asarray(out["salts"]),
-            )
-
-        # host scalar forms of z / OOD / final layer
-        if ext:
-            z = tuple(int(v) for v in z_np)
-            ood_scalars = [tuple(int(v) for v in row) for row in ood_np]
-            fri_final_layer = [
-                tuple(int(v) for v in row) for row in final_np
-            ]
-        else:
-            z = int(z_np)
-            ood_scalars = [int(v) for v in ood_np]
-            fri_final_layer = [int(v) for v in final_np]
-        q_z = ood_scalars[ns * k]
-        ood_trace = tuple(
-            tuple(ood_scalars[s * k + c] for c in range(k)) for s in range(ns)
+        return _assemble_proof(
+            self.air, n, N, B, k, nc, ns, ext, fns, out_np
         )
 
-        # ── prover-side sanity check at z (fibonacci.rs:169-177) ──────────
-        g = fns["g"]
-        domain = Domain.new(n)
-        t_scalars = [
-            ood_trace[s] if k > 1 else ood_trace[s][0] for s in range(ns)
+
+class FusedBatchStarkProver:
+    """B proofs in ONE device dispatch: the fused program vmapped over a
+    batch of traces (same AIR/shape, independent seeds). Each proof is
+    byte-identical to FusedStarkProver/StarkProver with the same seed —
+    the transcript while_loops vectorize with per-lane masking, so every
+    proof's ratchet count stays exact. The batched analog of
+    batch.BatchStarkProver with zero transcript round trips."""
+
+    def __init__(
+        self,
+        traces: list,
+        air: Air | None = None,
+        config: StarkConfig = DEFAULT_CONFIG,
+        seeds: list | None = None,
+    ):
+        self.traces = traces
+        self.air = air or _DEFAULT_AIR
+        self.config = config
+        if seeds is None:
+            seeds = [None] * len(traces)
+        assert len(seeds) == len(traces)
+        self.rngs = [np.random.default_rng(s) for s in seeds]
+
+    def generate_proofs(self) -> list:
+        cfg = self.config
+        nb = len(self.traces)
+        n = self.traces[0].num_rows
+        N = n * cfg.blowup
+        m = cfg.mask_degree
+        ext = cfg.ext_challenges
+        k = getattr(self.air, "num_columns", 1)
+        nc = getattr(self.air, "num_constraints", 1)
+        ns = self.air.num_shifts
+        fns = _fused_fns(
+            n, N, n + m, cfg.blowup, cfg.coset_shift, self.air,
+            cfg.final_layer_size(n), cfg.num_queries, k, nc, ns, ext,
+        )
+        multi = fns["multi"]
+        num_keys = 2 + fns["num_folds"]
+
+        def keys_for(rng):
+            return [_draw_key(rng) for _ in range(num_keys)]
+
+        with profiling.phase("fused_prove_batch"):
+            r_masks = jnp.asarray(np.stack([
+                rng.integers(0, P, (k, m) if multi else m, dtype=np.uint64)
+                .astype(np.uint32).reshape(k, m)
+                for rng in self.rngs
+            ]))
+            salt_keys = jnp.asarray(
+                np.array([keys_for(rng) for rng in self.rngs], np.uint32)
+            )
+            trace_cols = jnp.asarray(np.stack([
+                np.stack(t.columns).astype(np.uint32) for t in self.traces
+            ]))
+            if "prove_batch" not in fns:
+                fns["prove_batch"] = jax.jit(
+                    jax.vmap(fns["prove_raw"], in_axes=(0, 0, 0, None))
+                )
+            out = fns["prove_batch"](
+                trace_cols, r_masks, salt_keys, fns["tables"]
+            )
+            out_np = {key: np.asarray(v) for key, v in out.items()}
+
+        return [
+            _assemble_proof(
+                self.air, n, N, cfg.blowup, k, nc, ns, ext, fns,
+                {key: v[b] for key, v in out_np.items()},
+            )
+            for b in range(nb)
         ]
-        if ext:
-            c_z = (
-                self.air.constraint_at_ext(t_scalars, z, g, n, alphas)
-                if nc > 1 else self.air.constraint_at_ext(t_scalars, z, g, n)
-            )
-            z_z = extf.h_sub(extf.h_pow(z, n), extf.H_ONE)
-            ok = c_z == extf.h_mul(q_z, z_z)
-        else:
-            c_z = (
-                self.air.constraint_at(t_scalars, z, g, n, alphas)
-                if nc > 1 else self.air.constraint_at(t_scalars, z, g, n)
-            )
-            ok = c_z == q_z * domain.eval_vanishing(z) % P
-        if not ok:
-            raise ValueError("Constraint check at z failed — invalid trace")
-
-        # ── proof assembly (host int math mirrors prover.py) ──────────────
-        half0 = N // 2
-        trace_idx, deep_idx = [], []
-        for qi in query_indices:
-            trace_idx += [(qi + s * B) % N for s in range(ns)]
-            deep_idx += [qi, qi + half0]
-        quot_idx = list(query_indices)
-        fri_idx = []
-        cur = list(query_indices)
-        for s in fns["fri_sizes"]:
-            half = s // 2
-            cur = [i % half for i in cur]
-            fri_idx.append([v for i in cur for v in (i, i + half)])
-
-        all_idx = [trace_idx, quot_idx, deep_idx] + fri_idx
-        done = []
-        for t, idx, (vals, paths, salts) in zip(fns["gspec"], all_idx, parts):
-            done.append(
-                (vals, openings_from_paths(idx, paths, t["depth"]), salts)
-            )
-        tr_vals, tr_proofs, tr_salts = done[0]
-        q_vals, q_proofs, q_salts = done[1]
-        d_vals, d_proofs, d_salts = done[2]
-        fri_done = done[3:]
-
-        def mk_open(indices, vals, proofs, salts_np, j):
-            salt = b"".join(
-                int(w).to_bytes(4, "big") for w in salts_np[j]
-            )
-            v = vals[j]
-            value = tuple(int(x) for x in v) if np.ndim(v) else int(v)
-            return MerkleOpening(indices[j], value, proofs[j], salt)
-
-        query_proofs = []
-        for q, qi in enumerate(query_indices):
-            fri_openings = []
-            for li in range(1, num_folds):
-                vals, proofs, g_salts = fri_done[li - 1]
-                fri_openings.append(
-                    (mk_open(fri_idx[li - 1], vals, proofs, g_salts, 2 * q),
-                     mk_open(fri_idx[li - 1], vals, proofs, g_salts,
-                             2 * q + 1))
-                )
-            qp = dict(
-                index=qi,
-                deep_opening=mk_open(deep_idx, d_vals, d_proofs, d_salts, 2 * q),
-                deep_opening_pair=mk_open(deep_idx, d_vals, d_proofs, d_salts, 2 * q + 1),
-                quotient_opening=mk_open(quot_idx, q_vals, q_proofs, q_salts, q),
-                fri_openings=fri_openings,
-            )
-            trace_ops = [
-                mk_open(trace_idx, tr_vals, tr_proofs, tr_salts, ns * q + s)
-                for s in range(ns)
-            ]
-            if multi:
-                qp.update(
-                    trace_opening=None, trace_opening_g=None,
-                    trace_opening_gg=None, trace_openings=trace_ops,
-                )
-            else:
-                qp.update(
-                    trace_opening=trace_ops[0],
-                    trace_opening_g=trace_ops[1],
-                    trace_opening_gg=trace_ops[2],
-                )
-            query_proofs.append(QueryProof(**qp))
-
-        if multi:
-            return StarkProof(
-                trace_len=n, lde_size=N,
-                trace_commitment=trace_root,
-                quotient_commitment=quotient_root,
-                t_z=None, t_gz=None, t_ggz=None, q_z=q_z,
-                fri_commitments=fri_commitments,
-                fri_final_layer=fri_final_layer,
-                query_proofs=query_proofs,
-                ext=ext,
-                ood_trace=ood_trace,
-                num_columns=k,
-                num_shifts=ns,
-            )
-        return StarkProof(
-            trace_len=n, lde_size=N,
-            trace_commitment=trace_root,
-            quotient_commitment=quotient_root,
-            t_z=ood_scalars[0], t_gz=ood_scalars[1], t_ggz=ood_scalars[2],
-            q_z=q_z,
-            fri_commitments=fri_commitments,
-            fri_final_layer=fri_final_layer,
-            query_proofs=query_proofs,
-            ext=ext,
-        )
