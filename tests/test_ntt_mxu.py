@@ -1,0 +1,49 @@
+"""MXU-path NTT (ops/ntt_mxu.py): DFT levels as exact bf16 limb matmuls.
+
+Differential oracle: must match ops.ntt.ntt (itself pinned against the
+reference algorithm) bit-for-bit at every size, including multi-level
+four-step recursions (2^12 = 256*16, 2^16 = 256*256)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from toyni_tpu.field.babybear import P, get_root_of_unity
+from toyni_tpu.ops.ntt import ntt as ntt_ref
+from toyni_tpu.ops.ntt_mxu import (
+    _dft_matrix_np,
+    _limbs_bf16_np,
+    mxu_intt,
+    mxu_ntt,
+)
+
+
+def test_limb_matmul_exactness_bound():
+    # every f32 dot the kernel takes: products <= 255^2, 256-term sums
+    # <= 255^2 * 256 < 2^24 — representable exactly in f32
+    assert 255 * 255 * 256 < 1 << 24
+    m = _dft_matrix_np(256, get_root_of_unity(8))
+    limbs = _limbs_bf16_np(m)
+    # limbs recombine exactly
+    back = sum(limbs[i].astype(np.uint32) << (8 * i) for i in range(4))
+    assert np.array_equal(back, m)
+
+
+def test_mxu_matches_reference_all_sizes():
+    rng = np.random.default_rng(1)
+    for log_n in (4, 8, 10, 12, 16):
+        n = 1 << log_n
+        om = get_root_of_unity(log_n)
+        x = rng.integers(0, P, n, dtype=np.uint64).astype(np.uint32)
+        want = np.asarray(ntt_ref(jnp.asarray(x), om), np.uint64)
+        got = np.asarray(mxu_ntt(jnp.asarray(x), om), np.uint64)
+        assert np.array_equal(want, got), f"mismatch at 2^{log_n}"
+
+
+def test_mxu_roundtrip():
+    rng = np.random.default_rng(2)
+    n = 1 << 12
+    om = get_root_of_unity(12)
+    x = rng.integers(0, P, n, dtype=np.uint64).astype(np.uint32)
+    y = mxu_ntt(jnp.asarray(x), om)
+    back = np.asarray(mxu_intt(y, om), np.uint64)
+    assert np.array_equal(back, x.astype(np.uint64))

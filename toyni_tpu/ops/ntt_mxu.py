@@ -1,0 +1,238 @@
+"""MXU-path NTT: DFT levels as exact bf16 limb matmuls (Pallas kernels).
+
+The VPU four-step (ops/ntt.py) is HBM-bound: ~12 butterfly passes over the
+array at 2^24. This module reformulates the transform so the FLOPs land on
+the MXU (systolic array) instead: factor n into levels of size <= 256 and
+apply each level as a dense DFT matrix multiply
+
+    out[k, b] = sum_j M[k, j] * x[j, b]   mod p,   M[k, j] = omega_m^{jk}
+
+The modular matmul itself is built from EXACT bf16 matmuls: split both the
+matrix and the data into 8-bit limbs (4 each), take the 16 limb-pair
+products on the MXU with f32 accumulation — every product <= 255^2 and
+every 256-term sum <= 255^2*256 = 16_646_400 < 2^24, so f32 arithmetic is
+exact — then recombine sum_k c_k * 2^(8k) mod p with 7 Montgomery
+multiplies per output element on the VPU. A whole level is ONE Pallas pass:
+read tile, 16 dots in VMEM, recombine, write. (The same decomposition as an
+XLA einsum was measured at 4.7 ms/level at 2^24 — the (16, n) int32 limb
+products round-trip through HBM; keeping them tile-resident is the point of
+the kernel. See PERF.md "MXU NTT prototype".)
+
+Level structure is the four-step recursion (same index algebra as
+ops/ntt.py's `four_step_apply`, tested against it): natural order in,
+natural order out, twiddle corrections W[k1, j2] between levels. This
+replaces butterfly stages entirely — no bit-reversal permutations anywhere.
+
+Reference analog: the CUDA kernel's per-stage butterflies
+(cuda/ntt_kernel.cu:119-137) — re-mapped from SIMT butterflies to systolic
+matmuls, the TPU's native compute shape.
+
+Opt-in for the moment (TOYNI_MXU_NTT=1) until it beats the VPU four-step
+end-to-end on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field import babybear as bb
+from ..field.babybear import MONT_R, P
+from .ntt import np_powers
+
+_U32 = jnp.uint32
+
+# 2^(8k) * R mod p for the limb recombination (k = i + j, i,j in 0..3)
+_WEIGHTS_MONT = tuple(
+    (1 << (8 * k)) * MONT_R % P for k in range(7)
+)
+
+
+def _dft_matrix_np(m: int, omega_m: int) -> np.ndarray:
+    """(m, m) u32 DFT matrix M[k, j] = omega_m^(jk) (standard form)."""
+    pw = np_powers(omega_m, m)  # omega^0..omega^(m-1)
+    jk = (np.outer(np.arange(m, dtype=np.int64), np.arange(m, dtype=np.int64))
+          % m)
+    return pw[jk].astype(np.uint32)
+
+
+def _limbs_bf16_np(mat: np.ndarray) -> np.ndarray:
+    """(4, m, m) bf16 8-bit limbs of a u32 matrix (values 0..255, exact)."""
+    import ml_dtypes
+
+    limbs = np.stack([(mat >> (8 * i)) & 0xFF for i in range(4)])
+    return limbs.astype(ml_dtypes.bfloat16)
+
+
+def _level_kernel(m: int, TB: int, fuse_w: bool):
+    def kernel(x_ref, ml_ref, *rest):
+        if fuse_w:
+            w_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
+        x = x_ref[:]  # (m, TB) u32
+        xb = [
+            ((x >> _U32(8 * j)) & _U32(0xFF)).astype(jnp.bfloat16)
+            for j in range(4)
+        ]
+        # c_k = sum_{i+j=k} M_i @ X_j, exact in f32 (<= 2^24 per dot, < 2^26
+        # summed) — accumulate per weight group so only one (m, TB) f32
+        # intermediate is live per group
+        acc = None
+        for k in range(7):
+            c = None
+            for i in range(4):
+                j = k - i
+                if not (0 <= j <= 3):
+                    continue
+                s = jax.lax.dot_general(
+                    ml_ref[i], xb[j],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                c = s if c is None else c + s
+            ck = c.astype(jnp.int32).astype(_U32)
+            term = bb.mont_mul(ck, _U32(_WEIGHTS_MONT[k]))
+            acc = term if acc is None else bb.add(acc, term)
+        if fuse_w:
+            acc = bb.mont_mul(acc, w_ref[:])
+        o_ref[:] = acc
+
+    return kernel
+
+
+def _interpret() -> bool:
+    try:
+        d = jax.config.jax_default_device
+        if d is not None:
+            return d.platform != "tpu"
+    except Exception:
+        pass
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("fuse_w", "interpret"))
+def _dft_level(x2d, ml, w=None, *, fuse_w=False, interpret=False):
+    """One DFT level along axis 0 of (m, B) u32, optional fused Montgomery
+    multiply by w (the four-step twiddle correction, same shape)."""
+    m, B = x2d.shape
+    TB = min(B, 512)
+    assert B % TB == 0
+    in_specs = [
+        pl.BlockSpec((m, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(ml.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x2d, ml]
+    if fuse_w:
+        in_specs.append(
+            pl.BlockSpec((m, TB), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(w)
+    return pl.pallas_call(
+        _level_kernel(m, TB, fuse_w),
+        out_shape=jax.ShapeDtypeStruct((m, B), _U32),
+        grid=(B // TB,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m, TB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _factor_levels(n: int) -> list:
+    """Split n into four-step levels of size <= 256, largest first."""
+    out = []
+    while n > 256:
+        out.append(256)
+        n //= 256
+    out.append(n)
+    return out
+
+
+@functools.lru_cache(maxsize=16)
+def _mxu_tables_np(n: int, omega: int):
+    """Per-level constants: [(m1, m2, M_limbs bf16, W mont | None), ...]
+    walking the recursion outside-in; the last entry is the leaf DFT."""
+    levels = _factor_levels(n)
+    out = []
+    om = omega
+    m = n
+    for li, m1 in enumerate(levels):
+        if li == len(levels) - 1:
+            out.append((m1, 1, _limbs_bf16_np(_dft_matrix_np(m1, om)), None))
+            break
+        m2 = m // m1
+        om_col = pow(om, m2, P)  # omega_{m1}
+        # W[k1, j2] = om^(k1*j2), Montgomery form
+        r1 = np_powers(om, m1)
+        idx = np.arange(m2, dtype=np.uint64)
+        W = np.ones((m1, m2), np.uint64)
+        sq = r1.copy()
+        for b in range(max(1, (m2 - 1).bit_length())):
+            bit = (idx >> np.uint64(b)) & np.uint64(1)
+            W = np.where(bit[None, :] == 1, W * sq[:, None] % np.uint64(P), W)
+            sq = sq * sq % np.uint64(P)
+        W = (W * np.uint64(MONT_R) % np.uint64(P)).astype(np.uint32)
+        out.append((m1, m2, _limbs_bf16_np(_dft_matrix_np(m1, om_col)), W))
+        om = pow(om, m1, P)
+        m = m2
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=16)
+def mxu_ntt_tables(n: int, omega: int):
+    """Device-resident level tables — pass INTO jitted programs as an
+    argument (PERF.md rule 2)."""
+    with jax.ensure_compile_time_eval():
+        return tuple(
+            (jnp.asarray(ml), None if W is None else jnp.asarray(W))
+            for (_, _, ml, W) in _mxu_tables_np(n, omega)
+        )
+
+
+def _apply_rec(x2d, tabs, level: int, interpret: bool):
+    """Transform along axis 0 of (m, B); natural order in and out."""
+    m, B = x2d.shape
+    ml, W = tabs[level]
+    m1 = ml.shape[1]
+    if W is None:
+        return _dft_level(x2d, ml, interpret=interpret)
+    m2 = m // m1
+    y = x2d.reshape(m1, m2 * B)
+    if B == 1:
+        a = _dft_level(y, ml, W, fuse_w=True, interpret=interpret)
+        a = a.reshape(m1, m2, B)
+    else:
+        a = _dft_level(y, ml, interpret=interpret).reshape(m1, m2, B)
+        a = bb.mont_mul(a, W[:, :, None])
+    at = a.transpose(1, 0, 2).reshape(m2, m1 * B)
+    c = _apply_rec(at, tabs, level + 1, interpret)
+    # c rows are k2 with column blocks (k1, B); flat order k2*m1 + k1 ✓
+    return c.reshape(m, B)
+
+
+def apply_mxu_ntt(values: jnp.ndarray, tabs) -> jnp.ndarray:
+    """Forward NTT of a flat (n,) u32 vector via MXU DFT levels — same
+    contract as ops.ntt.apply_ntt (natural in, natural out)."""
+    n = values.shape[0]
+    interpret = _interpret()
+    return _apply_rec(values.reshape(n, 1), tabs, 0, interpret).reshape(n)
+
+
+def mxu_ntt(values: jnp.ndarray, omega: int) -> jnp.ndarray:
+    return apply_mxu_ntt(values, mxu_ntt_tables(values.shape[0], omega))
+
+
+def mxu_intt(values: jnp.ndarray, omega: int) -> jnp.ndarray:
+    n = values.shape[0]
+    inv_omega = pow(omega, n - 1, P)
+    v = mxu_ntt(values, inv_omega)
+    return bb.mul_const(v, pow(n, P - 2, P))
