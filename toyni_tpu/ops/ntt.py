@@ -226,6 +226,21 @@ def _four_step_tables_dev(n: int, omega: int):
 _FOUR_STEP_MIN = 1 << 12
 
 
+_MXU_NTT = None
+
+
+def _mxu_ntt_enabled() -> bool:
+    """Opt-in (TOYNI_MXU_NTT=1) MXU-path NTT: DFT levels as exact bf16 limb
+    matmuls (ops/ntt_mxu.py). EXPERIMENTAL — flips the four-step path of
+    `ntt_tables`/`apply_ntt` so bench.py A/Bs it unchanged."""
+    global _MXU_NTT
+    if _MXU_NTT is None:
+        import os
+
+        _MXU_NTT = os.environ.get("TOYNI_MXU_NTT") == "1"
+    return _MXU_NTT
+
+
 _PALLAS_NTT = None
 
 
@@ -299,13 +314,34 @@ def ntt_tables(size: int, omega: int):
     to hundreds of MB of constants into the compiled program (and into the
     remote-compile request)."""
     if size >= _FOUR_STEP_MIN:
+        if _mxu_ntt_enabled():
+            from .ntt_mxu import mxu_ntt_tables
+
+            return mxu_ntt_tables(size, omega)
         _, _, colt, rowt, W, twc, twr = _four_step_tables_dev(size, omega)
         return (colt, rowt, W, twc, twr)
     return _twiddle_tables(size, omega)
 
 
+def _is_mxu_tabs(tabs) -> bool:
+    """MXU level tables: a tuple of (M_limbs bf16 (4,m,m), W|None) pairs —
+    structurally distinct from both four-step and per-stage twiddle tables,
+    so they can ride through jit arguments without a tag."""
+    return (
+        isinstance(tabs, tuple)
+        and len(tabs) > 0
+        and isinstance(tabs[0], tuple)
+        and len(tabs[0]) == 2
+        and getattr(tabs[0][0], "ndim", 0) == 3
+    )
+
+
 def apply_ntt(values: jnp.ndarray, tabs, size: int) -> jnp.ndarray:
     """Transform with explicitly-supplied tables (jit-argument safe)."""
+    if _is_mxu_tabs(tabs):
+        from .ntt_mxu import apply_mxu_ntt
+
+        return apply_mxu_ntt(values, tabs)
     if size >= _FOUR_STEP_MIN:
         return four_step_apply(values, tabs)
     return ntt_stages(values, tabs)
