@@ -39,6 +39,18 @@ def test_mxu_matches_reference_all_sizes():
         assert np.array_equal(want, got), f"mismatch at 2^{log_n}"
 
 
+def test_mxu_extreme_values():
+    """Adversarial inputs for the carry chains of the 96-bit recombination:
+    all-(p-1) vectors maximize every limb-product sum c_k."""
+    for log_n in (8, 12):
+        n = 1 << log_n
+        om = get_root_of_unity(log_n)
+        x = np.full(n, P - 1, np.uint32)
+        want = np.asarray(ntt_ref(jnp.asarray(x), om), np.uint64)
+        got = np.asarray(mxu_ntt(jnp.asarray(x), om), np.uint64)
+        assert np.array_equal(want, got), f"extreme mismatch at 2^{log_n}"
+
+
 def test_mxu_roundtrip():
     rng = np.random.default_rng(2)
     n = 1 << 12

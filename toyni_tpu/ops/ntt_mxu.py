@@ -47,10 +47,11 @@ from .ntt import np_powers
 
 _U32 = jnp.uint32
 
-# 2^(8k) * R mod p for the limb recombination (k = i + j, i,j in 0..3)
-_WEIGHTS_MONT = tuple(
-    (1 << (8 * k)) * MONT_R % P for k in range(7)
-)
+# constants for the 96-bit recombination: x * 2^32 mod p = mont_mul(x, R^2)
+# (R^2 = 2^64 mod p; mont_mul divides by R = 2^32), x * 2^64 mod p =
+# mont_mul(x, 2^96 mod p)
+_C32 = (1 << 64) % P
+_C64 = (1 << 96) % P
 
 
 def _dft_matrix_np(m: int, omega_m: int) -> np.ndarray:
@@ -80,12 +81,12 @@ def _level_kernel(m: int, TB: int, fuse_w: bool):
             ((x >> _U32(8 * j)) & _U32(0xFF)).astype(jnp.bfloat16)
             for j in range(4)
         ]
-        # c_k = sum_{i+j=k} M_i @ X_j, exact in f32 (<= 2^24 per dot, < 2^26
+        # c_k = sum_{i+j=k} M_i @ X_j, exact in f32 (<= 2^24 per dot, < 2^27
         # summed) — accumulate per weight group so only one (m, TB) f32
         # intermediate is live per group
-        acc = None
+        c = []
         for k in range(7):
-            c = None
+            ck = None
             for i in range(4):
                 j = k - i
                 if not (0 <= j <= 3):
@@ -95,10 +96,36 @@ def _level_kernel(m: int, TB: int, fuse_w: bool):
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                c = s if c is None else c + s
-            ck = c.astype(jnp.int32).astype(_U32)
-            term = bb.mont_mul(ck, _U32(_WEIGHTS_MONT[k]))
-            acc = term if acc is None else bb.add(acc, term)
+                ck = s if ck is None else ck + s
+            c.append(ck.astype(jnp.int32).astype(_U32))
+
+        # recombine V = sum_k c_k * 2^(8k)  (V < 2^75) as a 3-word integer
+        # (w0, w1, w2) with explicit carries, then V mod p with TWO
+        # Montgomery multiplies: V = w0 + w1*2^32 + w2*2^64.
+        s01 = c[0] + (c[1] << 8)
+        car01 = (s01 < c[0]).astype(_U32)
+        hi23 = c[3] << 24
+        s23 = (c[2] << 16) + hi23
+        car23 = (s23 < hi23).astype(_U32)
+        w0 = s01 + s23
+        car_w0 = (w0 < s01).astype(_U32) + car01 + car23
+
+        u = c[4] + (c[5] << 8)
+        car_u = (u < c[4]).astype(_U32)
+        small = (c[1] >> 24) + (c[2] >> 16) + (c[3] >> 8) + car_w0
+        hi6 = c[6] << 16
+        t = hi6 + small
+        car_t = (t < hi6).astype(_U32)
+        w1 = u + t
+        car_w1 = (w1 < u).astype(_U32)
+        w2 = (c[5] >> 24) + (c[6] >> 16) + car_u + car_t + car_w1
+
+        r0 = jnp.where(w0 >= _U32(P), w0 - _U32(P), w0)
+        r0 = jnp.where(r0 >= _U32(P), r0 - _U32(P), r0)
+        acc = bb.add(
+            bb.add(r0, bb.mont_mul(w1, _U32(_C32))),
+            bb.mont_mul(w2, _U32(_C64)),
+        )
         if fuse_w:
             acc = bb.mont_mul(acc, w_ref[:])
         o_ref[:] = acc
