@@ -174,6 +174,55 @@ def _dft_level(x2d, ml, w=None, *, fuse_w=False, interpret=False):
     )(*args)
 
 
+def _level_t_kernel(m: int, TB: int, fuse_w: bool):
+    """Transposed-output variant: the (m, TB) result tile is written as
+    (TB, m) — the level's global transpose happens inside the kernel, so
+    the chain needs NO standalone XLA transpose passes between levels."""
+    inner = _level_kernel(m, TB, fuse_w)
+
+    def kernel(x_ref, ml_ref, *rest):
+        o_ref = rest[-1]
+
+        class _T:
+            def __setitem__(self, _slc, v):
+                o_ref[:] = v.T
+
+        inner(x_ref, ml_ref, *rest[:-1], _T())
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("fuse_w", "interpret"))
+def _dft_level_t(x2d, ml, w=None, *, fuse_w=False, interpret=False):
+    """One DFT level along axis 0 of (m, C) u32 with TRANSPOSED output
+    (C, m): out[c, k] = (M @ x)[k, c] (optionally * w[k, c], Montgomery)."""
+    m, C = x2d.shape
+    TB = min(C, 512)
+    assert C % TB == 0
+    in_specs = [
+        pl.BlockSpec((m, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(ml.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x2d, ml]
+    if fuse_w:
+        in_specs.append(
+            pl.BlockSpec((m, TB), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(w)
+    return pl.pallas_call(
+        _level_t_kernel(m, TB, fuse_w),
+        out_shape=jax.ShapeDtypeStruct((C, m), _U32),
+        grid=(C // TB,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TB, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def _factor_levels(n: int) -> list:
     """Split n into four-step levels of size <= 256, largest first."""
     out = []
@@ -223,6 +272,58 @@ def mxu_ntt_tables(n: int, omega: int):
             (jnp.asarray(ml), None if W is None else jnp.asarray(W))
             for (_, _, ml, W) in _mxu_tables_np(n, omega)
         )
+
+
+@functools.lru_cache(maxsize=16)
+def mxu_ntt_tables_t(n: int, omega: int):
+    """Tables for the fully-fused (transposed-output) chain: per level
+    (M_limbs bf16, W expanded to the level's full column width | None).
+    Expanded W repeats each twiddle across the accumulated batch columns so
+    the in-kernel fused multiply sees a same-shape tile."""
+    base = _mxu_tables_np(n, omega)
+    out = []
+    batch = 1
+    m = n
+    with jax.ensure_compile_time_eval():
+        for (m1, m2, ml, W) in base:
+            if W is None:
+                out.append((jnp.asarray(ml), None))
+                break
+            exp = np.broadcast_to(W[:, :, None], (m1, m2, batch))
+            out.append(
+                (jnp.asarray(ml), jnp.asarray(exp.reshape(m1, m2 * batch)))
+            )
+            batch *= m1
+            m = m2
+    return tuple(out)
+
+
+def apply_mxu_ntt_t(values: jnp.ndarray, tabs) -> jnp.ndarray:
+    """Forward NTT via transposed-output MXU levels: every level is ONE
+    Pallas pass (DFT matmul + fused twiddle + in-kernel transpose); the only
+    XLA op left is the final digit-reversal transpose of the level cube.
+    Same contract as `apply_mxu_ntt` (bit-identical; tested)."""
+    n = values.shape[0]
+    interpret = _interpret()
+    sizes = [ml.shape[1] for ml, _ in tabs]
+    v = values.reshape(sizes[0], n // sizes[0])
+    for li, (ml, W) in enumerate(tabs):
+        m = sizes[li]
+        v = v.reshape(m, n // m)
+        if W is None:
+            v = _dft_level_t(v, ml, interpret=interpret)
+        else:
+            v = _dft_level_t(v, ml, W, fuse_w=True, interpret=interpret)
+    if len(sizes) == 1:
+        return v.reshape(n)
+    cube = v.reshape(*sizes)
+    return cube.transpose(tuple(reversed(range(len(sizes))))).reshape(n)
+
+
+def mxu_ntt_t(values: jnp.ndarray, omega: int) -> jnp.ndarray:
+    return apply_mxu_ntt_t(
+        values, mxu_ntt_tables_t(values.shape[0], omega)
+    )
 
 
 def _apply_rec(x2d, tabs, level: int, interpret: bool):
