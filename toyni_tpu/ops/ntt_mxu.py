@@ -274,6 +274,69 @@ def mxu_ntt_tables(n: int, omega: int):
         )
 
 
+@functools.partial(jax.jit, static_argnames=("sizes", "interpret"))
+def _dft_level_final(x2d, ml, *, sizes, interpret=False):
+    """Last level with the digit-reversal fused into the OUTPUT block map.
+
+    Input (m_L, C), C = m1*...*m_{L-1}, columns ordered (k1, ..., k_{L-1})
+    with k1 most significant. Output is the natural-order cube
+    (m_L, m_{L-1}, ..., m_1) flattened to (n,): each grid step computes one
+    (m_L, m_{L-1}) tile — a fixed tuple of the higher digits — and writes it
+    at block coordinates (0, 0, k_{L-2}, ..., k_1). No transpose anywhere,
+    in or out of the kernel; the tile IS the natural (k_L, k_{L-1}) slab."""
+    sizes = tuple(sizes)
+    L = len(sizes)
+    m = sizes[-1]
+    assert L >= 2 and x2d.shape[0] == m
+    TB = sizes[-2]
+    digit_sizes = sizes[:-2]  # (m1, ..., m_{L-2}), k1 most significant
+    grid = 1
+    for s in digit_sizes:
+        grid *= s
+    out_shape = tuple(reversed(sizes))
+    block = (m, TB) + (1,) * (L - 2)
+    # place value of each digit (k1 first)
+    places = []
+    acc = 1
+    for s in reversed(digit_sizes):
+        places.append(acc)
+        acc *= s
+    places = list(reversed(places))
+
+    def imap(i):
+        digs = []
+        rest = i
+        for pv in places:
+            digs.append(rest // pv)
+            rest = rest % pv
+        return (0, 0) + tuple(reversed(digs))
+
+    base = _level_kernel(m, TB, False)
+
+    def kernel(x_ref, ml_ref, o_ref):
+        class _W:
+            def __setitem__(self, _slc, v):
+                o_ref[:] = v.reshape(block)
+
+        base(x_ref, ml_ref, _W())
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(out_shape, _U32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((m, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(ml.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(block, imap, memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x2d, ml).reshape(-1)
+
+
 @functools.lru_cache(maxsize=16)
 def mxu_ntt_tables_t(n: int, omega: int):
     """Tables for the fully-fused (transposed-output) chain: per level
@@ -300,24 +363,27 @@ def mxu_ntt_tables_t(n: int, omega: int):
 
 def apply_mxu_ntt_t(values: jnp.ndarray, tabs) -> jnp.ndarray:
     """Forward NTT via transposed-output MXU levels: every level is ONE
-    Pallas pass (DFT matmul + fused twiddle + in-kernel transpose); the only
-    XLA op left is the final digit-reversal transpose of the level cube.
-    Same contract as `apply_mxu_ntt` (bit-identical; tested)."""
+    Pallas pass (DFT matmul + fused twiddle + in-kernel transpose), and the
+    final digit reversal is fused into the last level's output block map —
+    zero XLA transposes end to end. Same contract as `apply_mxu_ntt`
+    (bit-identical; tested)."""
     n = values.shape[0]
     interpret = _interpret()
     sizes = [ml.shape[1] for ml, _ in tabs]
+    L = len(sizes)
     v = values.reshape(sizes[0], n // sizes[0])
-    for li, (ml, W) in enumerate(tabs):
+    if L == 1:
+        return _dft_level_t(v, tabs[0][0], interpret=interpret).reshape(n)
+    for li in range(L - 1):
+        ml, W = tabs[li]
         m = sizes[li]
         v = v.reshape(m, n // m)
-        if W is None:
-            v = _dft_level_t(v, ml, interpret=interpret)
-        else:
-            v = _dft_level_t(v, ml, W, fuse_w=True, interpret=interpret)
-    if len(sizes) == 1:
-        return v.reshape(n)
-    cube = v.reshape(*sizes)
-    return cube.transpose(tuple(reversed(range(len(sizes))))).reshape(n)
+        v = _dft_level_t(v, ml, W, fuse_w=True, interpret=interpret)
+    ml_last = tabs[-1][0]
+    return _dft_level_final(
+        v.reshape(sizes[-1], n // sizes[-1]), ml_last,
+        sizes=tuple(sizes), interpret=interpret,
+    )
 
 
 def mxu_ntt_t(values: jnp.ndarray, omega: int) -> jnp.ndarray:
