@@ -229,16 +229,23 @@ _FOUR_STEP_MIN = 1 << 12
 _MXU_NTT = None
 
 
-def _mxu_ntt_enabled() -> bool:
-    """Opt-in (TOYNI_MXU_NTT=1) MXU-path NTT: DFT levels as exact bf16 limb
-    matmuls (ops/ntt_mxu.py). EXPERIMENTAL — flips the four-step path of
+def _mxu_ntt_variant() -> int:
+    """Opt-in MXU-path NTT (ops/ntt_mxu.py): DFT levels as exact bf16 limb
+    matmuls. TOYNI_MXU_NTT=1 -> the four-step recursion (XLA transposes
+    between levels); =2 -> the fully-fused chain (in-kernel transposes,
+    fused digit reversal). EXPERIMENTAL — flips the four-step path of
     `ntt_tables`/`apply_ntt` so bench.py A/Bs it unchanged."""
     global _MXU_NTT
     if _MXU_NTT is None:
         import os
 
-        _MXU_NTT = os.environ.get("TOYNI_MXU_NTT") == "1"
+        v = os.environ.get("TOYNI_MXU_NTT", "")
+        _MXU_NTT = int(v) if v in ("1", "2") else 0
     return _MXU_NTT
+
+
+def _mxu_ntt_enabled() -> bool:
+    return _mxu_ntt_variant() > 0
 
 
 _PALLAS_NTT = None
@@ -315,8 +322,10 @@ def ntt_tables(size: int, omega: int):
     remote-compile request)."""
     if size >= _FOUR_STEP_MIN:
         if _mxu_ntt_enabled():
-            from .ntt_mxu import mxu_ntt_tables
+            from .ntt_mxu import mxu_ntt_tables, mxu_ntt_tables_t
 
+            if _mxu_ntt_variant() == 2:
+                return mxu_ntt_tables_t(size, omega)
             return mxu_ntt_tables(size, omega)
         _, _, colt, rowt, W, twc, twr = _four_step_tables_dev(size, omega)
         return (colt, rowt, W, twc, twr)
@@ -339,8 +348,10 @@ def _is_mxu_tabs(tabs) -> bool:
 def apply_ntt(values: jnp.ndarray, tabs, size: int) -> jnp.ndarray:
     """Transform with explicitly-supplied tables (jit-argument safe)."""
     if _is_mxu_tabs(tabs):
-        from .ntt_mxu import apply_mxu_ntt
+        from .ntt_mxu import apply_mxu_ntt, apply_mxu_ntt_t
 
+        if _mxu_ntt_variant() == 2:
+            return apply_mxu_ntt_t(values, tabs)
         return apply_mxu_ntt(values, tabs)
     if size >= _FOUR_STEP_MIN:
         return four_step_apply(values, tabs)
