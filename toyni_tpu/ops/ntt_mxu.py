@@ -122,12 +122,14 @@ def _level_kernel(m: int, TB: int, fuse_w: bool):
 
         r0 = jnp.where(w0 >= _U32(P), w0 - _U32(P), w0)
         r0 = jnp.where(r0 >= _U32(P), r0 - _U32(P), r0)
+        # mont_mul_shift: 4 multiplies per lane instead of 10 — worthwhile
+        # only inside fused compute-bound kernels like this one (PERF.md)
         acc = bb.add(
-            bb.add(r0, bb.mont_mul(w1, _U32(_C32))),
-            bb.mont_mul(w2, _U32(_C64)),
+            bb.add(r0, bb.mont_mul_shift(w1, _U32(_C32))),
+            bb.mont_mul_shift(w2, _U32(_C64)),
         )
         if fuse_w:
-            acc = bb.mont_mul(acc, w_ref[:])
+            acc = bb.mont_mul_shift(acc, w_ref[:])
         o_ref[:] = acc
 
     return kernel
