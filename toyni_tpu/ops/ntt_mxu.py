@@ -135,6 +135,19 @@ def _level_kernel(m: int, TB: int, fuse_w: bool):
     return kernel
 
 
+@functools.lru_cache(maxsize=1)
+def _tb_cap() -> int:
+    """Column-tile width cap (lanes per kernel invocation). Default 512;
+    tune with TOYNI_MXU_TB (VMEM-cliff exploration on hardware without code
+    edits — the roll kernel sat on such a cliff either side of 256)."""
+    import os
+
+    try:
+        return int(os.environ.get("TOYNI_MXU_TB", "512"))
+    except ValueError:
+        return 512
+
+
 def _interpret() -> bool:
     try:
         d = jax.config.jax_default_device
@@ -150,7 +163,7 @@ def _dft_level(x2d, ml, w=None, *, fuse_w=False, interpret=False):
     """One DFT level along axis 0 of (m, B) u32, optional fused Montgomery
     multiply by w (the four-step twiddle correction, same shape)."""
     m, B = x2d.shape
-    TB = min(B, 512)
+    TB = min(B, _tb_cap())
     assert B % TB == 0
     in_specs = [
         pl.BlockSpec((m, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -199,7 +212,7 @@ def _dft_level_t(x2d, ml, w=None, *, fuse_w=False, interpret=False):
     """One DFT level along axis 0 of (m, C) u32 with TRANSPOSED output
     (C, m): out[c, k] = (M @ x)[k, c] (optionally * w[k, c], Montgomery)."""
     m, C = x2d.shape
-    TB = min(C, 512)
+    TB = min(C, _tb_cap())
     assert C % TB == 0
     in_specs = [
         pl.BlockSpec((m, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
