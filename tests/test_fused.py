@@ -94,7 +94,7 @@ def test_squeeze_indices_loop_matches_host_with_dedup():
     d0 = td.hash_parts([SEED, ("digest", _words(r1)), ("digest", _words(r2))])
     d, idx = jax.jit(
         lambda dd: td.squeeze_indices_loop(
-            dd, [("digest", dd), ("digest", _words(r3))], 6, 8
+            [("digest", dd), ("digest", _words(r3))], 6, 8
         )
     )(d0)
     assert [int(v) for v in np.asarray(idx)] == idx_host

@@ -143,9 +143,17 @@ def _tb_cap() -> int:
     import os
 
     try:
-        return int(os.environ.get("TOYNI_MXU_TB", "512"))
+        tb = int(os.environ.get("TOYNI_MXU_TB", "512"))
     except ValueError:
-        return 512
+        tb = 512
+    if tb < 128 or tb & (tb - 1):
+        import warnings
+
+        warnings.warn(
+            f"TOYNI_MXU_TB={tb!r} must be a power of two >= 128; using 512"
+        )
+        tb = 512
+    return tb
 
 
 def _interpret() -> bool:

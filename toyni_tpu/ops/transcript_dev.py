@@ -221,12 +221,12 @@ def derive_z_ext_loop(digest, z0, lde_size: int, shift: int):
     return d, z4
 
 
-def squeeze_indices_loop(digest, first_parts, count: int, max_value: int):
+def squeeze_indices_loop(first_parts, count: int, max_value: int):
     """Device analog of transcript.squeeze_indices(count, max_value) with
     dedup (transcript.rs:58-72). `first_parts` is the absorbed state the
-    FIRST ratchet hashes (digest || last FRI root); subsequent ratchets hash
-    the bare 32-byte state. Returns (state_digest, (count,) u32 indices in
-    draw order)."""
+    FIRST ratchet hashes (prior digest || last FRI root); subsequent
+    ratchets hash the bare 32-byte state. Returns (state_digest, (count,)
+    u32 indices in draw order)."""
     d = hash_parts(first_parts)
     idx0 = index_from_digest(d, max_value)
     slots = jnp.zeros((count,), _U32).at[0].set(idx0)

@@ -64,17 +64,9 @@ def global_mesh(n_devices: int | None = None):
     a drop-in for `mesh.make_mesh` that spans hosts. The whole `parallel/`
     stack (four-step NTT, sharded FRI, distributed trees, the interactive
     prover) runs on it unchanged: shard_map programs are SPMD."""
-    from jax.sharding import Mesh
+    from .mesh import make_mesh
 
-    devices = global_devices_host_major()
-    if n_devices is not None:
-        if len(devices) < n_devices:
-            raise ValueError(
-                f"requested {n_devices}-device mesh but the process group "
-                f"has {len(devices)}"
-            )
-        devices = devices[:n_devices]
-    return Mesh(np.array(devices), (AXIS,))
+    return make_mesh(n_devices, devices=global_devices_host_major())
 
 
 def hybrid_mesh(ici_axis: str = "ici", dcn_axis: str = "dcn"):
@@ -85,7 +77,12 @@ def hybrid_mesh(ici_axis: str = "ici", dcn_axis: str = "dcn"):
     from jax.sharding import Mesh
 
     devices = global_devices_host_major()
-    nproc = max(d.process_index for d in devices) + 1
+    nproc = len({d.process_index for d in devices})
+    if nproc == 0 or len(devices) % nproc:
+        raise ValueError(
+            f"hybrid mesh needs the same device count on every host: "
+            f"{len(devices)} devices across {nproc} processes"
+        )
     per_host = len(devices) // nproc
     return Mesh(
         np.array(devices).reshape(nproc, per_host), (dcn_axis, ici_axis)

@@ -327,7 +327,7 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
 
         # ── query indices (fibonacci.rs:249-251) ──────────────────────────
         digest, qidx = td.squeeze_indices_loop(
-            digest, [("digest", digest), ("digest", prev_root)], Q, half0
+            [("digest", digest), ("digest", prev_root)], Q, half0
         )
 
         # ── fused gathers for every opened tree ───────────────────────────
