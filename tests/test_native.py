@@ -69,3 +69,79 @@ def test_native_merkle_verify():
         assert native.merkle_verify(leaf, proof.path, proof.position, root)
         bad = bytes(salts[i]) + int((values[i] + 1) % P).to_bytes(8, "little")
         assert not native.merkle_verify(bad, proof.path, proof.position, root)
+
+
+# ── full native STARK verifier (wire format v1) ─────────────────────────────
+
+@pytest.fixture(scope="module")
+def _v1_blob():
+    from toyni_tpu import proof as proof_mod
+    from toyni_tpu.prover import StarkProver
+    from toyni_tpu.trace import ExecutionTrace
+
+    fibs, a, b = [], 1, 1
+    for _ in range(64):
+        fibs.append(a % P)
+        a, b = b, (a + b) % P
+    t = ExecutionTrace()
+    t.insert_column(fibs)
+    return proof_mod.serialize(StarkProver(t, seed=7).generate_proof())
+
+
+def test_native_verifier_accepts_valid_proof(_v1_blob):
+    assert native.verify_proof_blob(_v1_blob) is True
+
+
+def test_native_verifier_rejects_tampers(_v1_blob):
+    from toyni_tpu import proof as proof_mod
+
+    for mut in range(4):
+        bad = proof_mod.deserialize(_v1_blob)
+        if mut == 0:
+            bad.t_z = (bad.t_z + 1) % P
+        elif mut == 1:
+            bad.fri_final_layer[0] = (bad.fri_final_layer[0] + 1) % P
+        elif mut == 2:
+            c = bytearray(bad.trace_commitment)
+            c[0] ^= 1
+            bad.trace_commitment = bytes(c)
+        else:
+            bad.query_proofs[0].quotient_opening.value += 1
+        assert native.verify_proof_blob(proof_mod.serialize(bad)) is False
+
+
+def test_native_verifier_agrees_with_python_oracle_under_fuzz(_v1_blob):
+    """Byte-flip + truncation fuzz: the native verdict must equal the Python
+    verifier's (treating deserialize errors as non-accepting) on every
+    mutated blob — the Python verifier is the bit-exactness oracle."""
+    import random
+
+    from toyni_tpu import proof as proof_mod
+    from toyni_tpu.verifier import StarkVerifier
+
+    v = StarkVerifier()
+    rng = random.Random(0xC0DE)
+    for _ in range(120):
+        b = bytearray(_v1_blob)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        data = bytes(b)
+        try:
+            py_acc = v.verify(proof_mod.deserialize(data))
+        except Exception:
+            py_acc = False
+        try:
+            nat_acc = native.verify_proof_blob(data)
+        except Exception:
+            nat_acc = False
+        assert py_acc == nat_acc
+    for _ in range(20):
+        data = _v1_blob[: rng.randrange(1, len(_v1_blob))]
+        try:
+            py_acc = v.verify(proof_mod.deserialize(data))
+        except Exception:
+            py_acc = False
+        try:
+            nat_acc = native.verify_proof_blob(data)
+        except Exception:
+            nat_acc = False
+        assert py_acc == nat_acc

@@ -86,14 +86,30 @@ def cmd_verify(args) -> int:
     from toyni_tpu.verifier import StarkVerifier
 
     with open(getattr(args, "in"), "rb") as f:
-        proof = proof_mod.deserialize(f.read())
+        blob = f.read()
+    proof = proof_mod.deserialize(blob)
     from toyni_tpu.config import StarkConfig
 
     air, _, deg = _make_air(args.air, proof.trace_len)
     cfg = StarkConfig(ext_challenges=bool(proof.ext), constraint_degree=deg)
     t0 = time.perf_counter()
-    ok = StarkVerifier(air=air, config=cfg).verify(proof)
-    print(f"verify: {'ACCEPT' if ok else 'REJECT'} ({time.perf_counter()-t0:.3f}s)")
+    if args.native:
+        from toyni_tpu import native
+
+        if args.air != "fib" or proof.ext:
+            raise SystemExit(
+                "--native covers the reference protocol (v1: fib AIR, "
+                "base field)"
+            )
+        ok = native.verify_proof_blob(blob, cfg)
+        how = "native"
+    else:
+        ok = StarkVerifier(air=air, config=cfg).verify(proof)
+        how = "host"
+    print(
+        f"verify[{how}]: {'ACCEPT' if ok else 'REJECT'} "
+        f"({time.perf_counter()-t0:.3f}s)"
+    )
     return 0 if ok else 1
 
 
@@ -159,6 +175,10 @@ def main(argv=None) -> int:
     pv = sub.add_parser("verify", help="verify a serialized proof")
     pv.add_argument("--in", dest="in", default="proof.bin")
     pv.add_argument("--air", **air_kw)
+    pv.add_argument(
+        "--native", action="store_true",
+        help="full C++ verifier (reference protocol only)",
+    )
     pv.set_defaults(fn=cmd_verify)
 
     pb = sub.add_parser("bench", help="run the benchmark")

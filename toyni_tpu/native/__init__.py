@@ -54,6 +54,8 @@ def load():
     lib.merkle_build_levels.argtypes = [u8p, u64, u8p]
     lib.merkle_verify.argtypes = [u8p, u64, u8p, u8p, u64, u8p]
     lib.merkle_verify.restype = ctypes.c_int
+    lib.stark_verify_v1.argtypes = [u8p, u64, u64, u64, u64, u64]
+    lib.stark_verify_v1.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -121,6 +123,37 @@ def merkle_build_levels(leaf_digests: np.ndarray) -> list:
         levels.append(buf[off : off + s].copy())
         off += s
     return levels
+
+
+def verify_proof_blob(blob: bytes, config=None) -> bool:
+    """Full native verification of a SERIALIZED v1 proof (the reference
+    protocol: base field, single column). Parses, replays the transcript,
+    and runs every check of toyni_tpu/verifier.py in C — the production
+    host-verify path; the Python verifier remains the bit-exactness oracle
+    (differential-tested, incl. the tamper fuzz). Raises ValueError on a
+    malformed blob (mirroring proof.deserialize)."""
+    import struct
+
+    from ..config import DEFAULT_CONFIG
+
+    cfg = config or DEFAULT_CONFIG
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable (no C++ toolchain)")
+    if len(blob) < 14:
+        raise ValueError("truncated proof")
+    n = struct.unpack_from("<Q", blob, 6)[0]
+    if n == 0 or n & (n - 1):
+        raise ValueError("corrupt proof: trace_len not a power of two")
+    final_size = cfg.final_layer_size(n)
+    b = np.frombuffer(blob, np.uint8)
+    rc = lib.stark_verify_v1(
+        _u8p(b), len(blob), cfg.num_queries, cfg.blowup, cfg.coset_shift,
+        final_size,
+    )
+    if rc < 0:
+        raise ValueError("corrupt proof blob")
+    return bool(rc)
 
 
 def merkle_verify(leaf: bytes, path: list, positions: list, root: bytes) -> bool:

@@ -19,6 +19,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <initializer_list>
+#include <vector>
 
 extern "C" {
 
@@ -215,6 +217,346 @@ int merkle_verify(const uint8_t* leaf, uint64_t leaf_len,
         sha256_one(buf, 65, cur);
     }
     return memcmp(cur, root, 32) == 0 ? 1 : 0;
+}
+
+} // extern "C"
+
+// ── STARK verifier (wire format v1 — the reference protocol) ────────────────
+//
+// A complete native verifier for base-field single-column proofs: parses the
+// serialized blob (bounds-checked), replays the Fiat-Shamir transcript
+// byte-exactly (src/transcript.rs), and runs every check of
+// toyni_tpu/verifier.py (itself the port of src/verifier.rs:14-232): OOD
+// identity for the Fibonacci AIR, FRI schedule/constancy/final-root, salted
+// Merkle openings with position binding, DEEP reconstruction, the fold
+// chain. The Python verifier stays the bit-exactness oracle; this is the
+// production host path (differential-tested against it, incl. tamper fuzz).
+
+static const uint64_t PRIM_ROOT = 440564289ULL; // 31^15 mod p, 2-adicity 27
+
+static uint64_t root_of_unity(int log_n) {
+    return bb_pow(PRIM_ROOT, 1ULL << (27 - log_n));
+}
+
+namespace sv {
+
+struct Reader {
+    const uint8_t* p;
+    uint64_t len, off;
+    bool ok;
+    Reader(const uint8_t* data, uint64_t n) : p(data), len(n), off(0), ok(true) {}
+    const uint8_t* bytes(uint64_t n) {
+        if (!ok || n > len - off) { ok = false; return nullptr; }
+        const uint8_t* q = p + off;
+        off += n;
+        return q;
+    }
+    uint16_t u16() {
+        const uint8_t* b = bytes(2);
+        return b ? (uint16_t)(b[0] | (b[1] << 8)) : 0;
+    }
+    uint32_t u32() {
+        const uint8_t* b = bytes(4);
+        if (!b) return 0;
+        return (uint32_t)b[0] | ((uint32_t)b[1] << 8) | ((uint32_t)b[2] << 16)
+             | ((uint32_t)b[3] << 24);
+    }
+    uint64_t u64() {
+        const uint8_t* b = bytes(8);
+        if (!b) return 0;
+        uint64_t v = 0;
+        for (int i = 7; i >= 0; i--) v = (v << 8) | b[i];
+        return v;
+    }
+};
+
+struct Op {
+    uint64_t index, value;
+    const uint8_t* salt;
+    uint32_t salt_len;
+    const uint8_t* path; // path_len x (32-byte sibling + 1 flag byte)
+    uint32_t path_len;
+};
+
+static bool read_opening(Reader& r, Op& op) {
+    op.index = r.u64();
+    op.value = r.u64();
+    op.salt_len = r.u32();
+    op.salt = r.bytes(op.salt_len);
+    op.path_len = r.u32();
+    op.path = r.bytes((uint64_t)op.path_len * 33);
+    return r.ok;
+}
+
+// Leaf = salt || value 8-byte LE; position binding: stored index, the path
+// flags (LSB-first bits of the index), and the full tree depth must all
+// match (toyni_tpu/verifier.py:_verify_opening).
+static bool op_verify(const Op& op, const uint8_t* root,
+                      uint64_t expected_index, uint64_t tree_size) {
+    if (op.index != expected_index) return false;
+    for (uint32_t l = 0; l < op.path_len; l++)
+        // flag parse matches proof.py: the byte is True iff exactly 0x01
+        if ((op.path[l * 33 + 32] == 0x01) != (((expected_index >> l) & 1) != 0))
+            return false;
+    uint64_t ts = tree_size - 1;
+    uint32_t depth = 0;
+    while (ts) { depth++; ts >>= 1; }
+    if (op.path_len != depth) return false;
+
+    uint8_t cur[32];
+    {
+        std::vector<uint8_t> leaf(1 + op.salt_len + 8);
+        leaf[0] = 0x00;
+        memcpy(leaf.data() + 1, op.salt, op.salt_len);
+        for (int i = 0; i < 8; i++)
+            leaf[1 + op.salt_len + i] = uint8_t(op.value >> (8 * i));
+        sha256_one(leaf.data(), leaf.size(), cur);
+    }
+    uint8_t buf[65];
+    buf[0] = 0x01;
+    for (uint32_t i = 0; i < op.path_len; i++) {
+        const uint8_t* sib = op.path + i * 33;
+        if (op.path[i * 33 + 32] == 0x01) {
+            memcpy(buf + 1, sib, 32);
+            memcpy(buf + 33, cur, 32);
+        } else {
+            memcpy(buf + 1, cur, 32);
+            memcpy(buf + 33, sib, 32);
+        }
+        sha256_one(buf, 65, cur);
+    }
+    return memcmp(cur, root, 32) == 0;
+}
+
+struct Transcript {
+    std::vector<uint8_t> state;
+    Transcript() {
+        static const char seed[] = "toyni-stark-v1";
+        state.assign(seed, seed + 14);
+    }
+    void absorb(const uint8_t* d, uint64_t n) {
+        state.insert(state.end(), d, d + n);
+    }
+    void absorb_u64le(uint64_t v) {
+        uint8_t b[8];
+        for (int i = 0; i < 8; i++) b[i] = uint8_t(v >> (8 * i));
+        absorb(b, 8);
+    }
+    uint64_t squeeze_raw() { // hash-ratchet; LE u64 of the first 8 bytes
+        uint8_t h[32];
+        sha256_one(state.data(), state.size(), h);
+        state.assign(h, h + 32);
+        uint64_t v = 0;
+        for (int i = 7; i >= 0; i--) v = (v << 8) | h[i];
+        return v;
+    }
+    uint64_t challenge() { return squeeze_raw() % P; }
+};
+
+static inline uint64_t lift(uint64_t v) { return v % P; }
+
+} // namespace sv
+
+extern "C" {
+
+// Verify a serialized v1 proof. Returns 1 accept, 0 reject, -1 parse error.
+// `final_size` comes from the Python config (StarkConfig.final_layer_size).
+int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
+                    uint64_t num_queries, uint64_t blowup,
+                    uint64_t coset_shift, uint64_t final_size) {
+    using namespace sv;
+    Reader r(blob, blob_len);
+    const uint8_t* magic = r.bytes(4);
+    if (!magic || memcmp(magic, "TSTK", 4) != 0) return -1;
+    if (r.u16() != 1) return -1; // base-field single-column format only
+    uint64_t n = r.u64(), N = r.u64();
+    if (!r.ok) return -1;
+    if (N != n * blowup) return 0;
+    if (n == 0 || (n & (n - 1)) != 0) return 0;
+    int log_n = 0, log_N = 0;
+    for (uint64_t t = n; t > 1; t >>= 1) log_n++;
+    for (uint64_t t = N; t > 1; t >>= 1) log_N++;
+    if (log_N > 27) return 0; // beyond BabyBear 2-adicity
+    const uint8_t* trace_c = r.bytes(32);
+    const uint8_t* quot_c = r.bytes(32);
+    uint64_t t_z = r.u64(), t_gz = r.u64(), t_ggz = r.u64(), q_z = r.u64();
+    uint32_t n_fri = r.u32();
+    if (!r.ok || (uint64_t)n_fri * 32 > r.len - r.off) return -1;
+    const uint8_t* fri_c = r.bytes((uint64_t)n_fri * 32);
+    uint32_t final_len = r.u32();
+    if (!r.ok || (uint64_t)final_len * 8 > r.len - r.off) return -1;
+    std::vector<uint64_t> final_layer(final_len);
+    for (uint32_t i = 0; i < final_len; i++) final_layer[i] = r.u64();
+    uint32_t n_queries = r.u32();
+    if (!r.ok) return -1;
+
+    uint64_t g = root_of_unity(log_n);
+    uint64_t omega_N = root_of_unity(log_N);
+    uint64_t shift = coset_shift % P;
+
+    // ── transcript replay: roots -> z (verifier.rs:31-41) ───────────────
+    Transcript tr;
+    tr.absorb(trace_c, 32);
+    tr.absorb(quot_c, 32);
+    uint64_t h_n = bb_pow(shift, N);
+    uint64_t z;
+    for (;;) {
+        z = tr.challenge();
+        uint64_t zn = bb_pow(z, N);
+        if (zn != 1 && zn != h_n) break;
+    }
+
+    // ── OOD identity: C(z) = Q(z) * Z_H(z) (verifier.rs:43-49) ──────────
+    {
+        uint64_t fib = bb_sub(bb_sub(lift(t_ggz), lift(t_gz)), lift(t_z));
+        uint64_t b1 = bb_sub(z, bb_pow(g, n - 1));
+        uint64_t b2 = bb_sub(z, bb_pow(g, n - 2));
+        uint64_t c_z = bb_mul(bb_mul(fib, b1), b2);
+        uint64_t z_z = bb_sub(bb_pow(z, n), 1);
+        if (c_z != bb_mul(q_z, z_z)) return 0;
+    }
+    for (uint64_t v : {t_z, t_gz, t_ggz, q_z}) tr.absorb_u64le(v);
+
+    // ── FRI schedule checks (verifier.rs:51-79) ─────────────────────────
+    if (n_fri == 0 || final_size == 0 || N % final_size) return 0;
+    uint32_t expected_folds = 0;
+    for (uint64_t t = N / final_size; t > 1; t >>= 1) expected_folds++;
+    if (n_fri != expected_folds + 1) return 0;
+    if (final_len != final_size) return 0;
+    for (uint32_t i = 1; i < final_len; i++)
+        if (final_layer[i] != final_layer[0]) return 0;
+    {
+        // unsalted final-layer root (leaf = value 8B LE, tag 0x00)
+        std::vector<uint8_t> digests((uint64_t)final_len * 32);
+        uint8_t leaf[9];
+        leaf[0] = 0x00;
+        for (uint32_t i = 0; i < final_len; i++) {
+            for (int b = 0; b < 8; b++)
+                leaf[1 + b] = uint8_t(final_layer[i] >> (8 * b));
+            sha256_one(leaf, 9, digests.data() + (uint64_t)i * 32);
+        }
+        uint64_t cnt = final_len;
+        uint8_t buf[65];
+        buf[0] = 0x01;
+        std::vector<uint8_t> next;
+        while (cnt > 1) {
+            uint64_t half = (cnt + 1) / 2;
+            next.resize(half * 32);
+            for (uint64_t i = 0; i < half; i++) {
+                const uint8_t* l = digests.data() + (2 * i) * 32;
+                const uint8_t* rr =
+                    (2 * i + 1 < cnt) ? digests.data() + (2 * i + 1) * 32 : l;
+                memcpy(buf + 1, l, 32);
+                memcpy(buf + 33, rr, 32);
+                sha256_one(buf, 65, next.data() + i * 32);
+            }
+            digests.swap(next);
+            cnt = half;
+        }
+        if (memcmp(digests.data(), fri_c + (uint64_t)(n_fri - 1) * 32, 32))
+            return 0;
+    }
+
+    tr.absorb(fri_c, 32);
+    std::vector<uint64_t> betas(expected_folds);
+    for (uint32_t i = 1; i < n_fri; i++) {
+        betas[i - 1] = tr.challenge();
+        tr.absorb(fri_c + (uint64_t)i * 32, 32);
+    }
+
+    // ── query indices (verifier.rs:92-98) ───────────────────────────────
+    uint64_t half0 = N / 2;
+    std::vector<uint64_t> qidx;
+    {
+        std::vector<uint8_t> seen(half0, 0);
+        while (qidx.size() < num_queries) {
+            uint64_t idx = tr.squeeze_raw() % half0;
+            if (!seen[idx]) { seen[idx] = 1; qidx.push_back(idx); }
+        }
+    }
+    if (n_queries != num_queries) return 0;
+
+    uint64_t half_inv = (P + 1) / 2;
+
+    // ── per-query checks (verifier.rs:105-229) ──────────────────────────
+    for (uint64_t q = 0; q < n_queries; q++) {
+        uint64_t stored_index = r.u64();
+        Op deep, deep_pair, tr0, tr1, tr2, quot;
+        if (!read_opening(r, deep) || !read_opening(r, deep_pair) ||
+            !read_opening(r, tr0) || !read_opening(r, tr1) ||
+            !read_opening(r, tr2) || !read_opening(r, quot))
+            return -1;
+        uint32_t n_fri_op = r.u32();
+        // bounds sanity: each opening is at least 24 bytes (two u64 + two
+        // empty-count u32s) — reject hostile counts before allocating
+        if (!r.ok || (uint64_t)n_fri_op * 2 * 24 > r.len - r.off) return -1;
+        std::vector<Op> fri_ops(2 * (uint64_t)n_fri_op);
+        for (uint32_t i = 0; i < 2 * n_fri_op; i++)
+            if (!read_opening(r, fri_ops[i])) return -1;
+
+        uint64_t qi = qidx[q];
+        if (stored_index != qi) return 0;
+        if (n_fri_op != expected_folds - 1) return 0;
+
+        const Op* trace_ops[3] = {&tr0, &tr1, &tr2};
+        for (int s = 0; s < 3; s++)
+            if (!op_verify(*trace_ops[s], trace_c,
+                           (qi + (uint64_t)s * blowup) % N, N))
+                return 0;
+        if (!op_verify(quot, quot_c, qi, N)) return 0;
+        if (!op_verify(deep, fri_c, qi, N)) return 0;
+        if (!op_verify(deep_pair, fri_c, qi + half0, N)) return 0;
+
+        // DEEP reconstruction
+        uint64_t x_i = bb_mul(shift, bb_pow(omega_N, qi));
+        uint64_t inv_xz = bb_pow(bb_sub(x_i, z), P - 2);
+        uint64_t num = bb_sub(lift(quot.value), lift(q_z));
+        num = bb_add(num, bb_sub(lift(tr2.value), lift(t_ggz)));
+        num = bb_add(num, bb_sub(lift(tr1.value), lift(t_gz)));
+        num = bb_add(num, bb_sub(lift(tr0.value), lift(t_z)));
+        // match Python: subtractions use the RAW (unlifted) OOD ints mod p,
+        // which equals lifting them first; the opened value compares RAW
+        if (deep.value != bb_mul(num, inv_xz)) return 0;
+
+        // fold layer 0 -> 1
+        uint64_t a0 = lift(deep.value), b0 = lift(deep_pair.value);
+        uint64_t avg = bb_mul(bb_add(a0, b0), half_inv);
+        uint64_t diff = bb_mul(bb_sub(a0, b0), half_inv);
+        uint64_t prev = bb_add(
+            avg, bb_mul(bb_mul(diff, betas[0]), bb_pow(x_i, P - 2)));
+
+        uint64_t pos = qi;
+        for (uint32_t layer = 0; layer < n_fri_op; layer++) {
+            uint32_t fold_k = layer + 1;
+            uint64_t layer_size = N >> fold_k;
+            uint64_t half = layer_size / 2;
+            uint64_t lo = pos % half;
+            bool in_first_half = (pos == lo);
+            const Op& op = fri_ops[2 * layer];
+            const Op& op_pair = fri_ops[2 * layer + 1];
+            if (!op_verify(op, fri_c + (uint64_t)fold_k * 32, lo, layer_size))
+                return 0;
+            if (!op_verify(op_pair, fri_c + (uint64_t)fold_k * 32, lo + half,
+                           layer_size))
+                return 0;
+            if (in_first_half) {
+                if (op.value != prev) return 0;
+            } else if (op_pair.value != prev) {
+                return 0;
+            }
+            uint64_t x = bb_pow(bb_mul(shift, bb_pow(omega_N, lo)),
+                                1ULL << fold_k);
+            uint64_t a = lift(op.value), b = lift(op_pair.value);
+            avg = bb_mul(bb_add(a, b), half_inv);
+            diff = bb_mul(bb_sub(a, b), half_inv);
+            prev = bb_add(
+                avg,
+                bb_mul(bb_mul(diff, betas[fold_k]), bb_pow(x, P - 2)));
+            pos = lo;
+        }
+        if (final_layer[pos] != prev) return 0;
+    }
+    return 1;
 }
 
 } // extern "C"
