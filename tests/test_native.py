@@ -145,3 +145,44 @@ def test_native_verifier_agrees_with_python_oracle_under_fuzz(_v1_blob):
         except Exception:
             nat_acc = False
         assert py_acc == nat_acc
+
+
+def test_native_verifier_ext_mode_v2():
+    """v2 (extension-field challenges): native accept on a valid proof,
+    mode-mismatch rejection both ways, and fuzz agreement with the oracle."""
+    import random
+
+    from toyni_tpu import proof as proof_mod
+    from toyni_tpu.config import StarkConfig
+    from toyni_tpu.prover import StarkProver
+    from toyni_tpu.trace import ExecutionTrace
+    from toyni_tpu.verifier import StarkVerifier
+
+    fibs, a, b = [], 1, 1
+    for _ in range(64):
+        fibs.append(a % P)
+        a, b = b, (a + b) % P
+    t = ExecutionTrace()
+    t.insert_column(fibs)
+    cfg = StarkConfig(ext_challenges=True)
+    blob = proof_mod.serialize(
+        StarkProver(t, config=cfg, seed=5).generate_proof()
+    )
+    assert native.verify_proof_blob(blob, cfg) is True
+    assert native.verify_proof_blob(blob) is False  # base cfg vs ext proof
+
+    v = StarkVerifier(config=cfg)
+    rng = random.Random(0xE2)
+    for _ in range(60):
+        bb2 = bytearray(blob)
+        bb2[rng.randrange(len(bb2))] ^= 1 << rng.randrange(8)
+        data = bytes(bb2)
+        try:
+            py_acc = v.verify(proof_mod.deserialize(data))
+        except Exception:
+            py_acc = False
+        try:
+            nat_acc = native.verify_proof_blob(data, cfg)
+        except Exception:
+            nat_acc = False
+        assert py_acc == nat_acc

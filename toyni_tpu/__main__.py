@@ -96,10 +96,10 @@ def cmd_verify(args) -> int:
     if args.native:
         from toyni_tpu import native
 
-        if args.air != "fib" or proof.ext:
+        if args.air != "fib":
             raise SystemExit(
-                "--native covers the reference protocol (v1: fib AIR, "
-                "base field)"
+                "--native covers the reference protocol (fib AIR; base or "
+                "ext challenges)"
             )
         ok = native.verify_proof_blob(blob, cfg)
         how = "native"

@@ -54,7 +54,8 @@ def load():
     lib.merkle_build_levels.argtypes = [u8p, u64, u8p]
     lib.merkle_verify.argtypes = [u8p, u64, u8p, u8p, u64, u8p]
     lib.merkle_verify.restype = ctypes.c_int
-    lib.stark_verify_v1.argtypes = [u8p, u64, u64, u64, u64, u64]
+    lib.stark_verify_v1.argtypes = [u8p, u64, u64, u64, u64, u64,
+                                    ctypes.c_int]
     lib.stark_verify_v1.restype = ctypes.c_int
     _lib = lib
     return _lib
@@ -126,12 +127,13 @@ def merkle_build_levels(leaf_digests: np.ndarray) -> list:
 
 
 def verify_proof_blob(blob: bytes, config=None) -> bool:
-    """Full native verification of a SERIALIZED v1 proof (the reference
-    protocol: base field, single column). Parses, replays the transcript,
-    and runs every check of toyni_tpu/verifier.py in C — the production
-    host-verify path; the Python verifier remains the bit-exactness oracle
-    (differential-tested, incl. the tamper fuzz). Raises ValueError on a
-    malformed blob (mirroring proof.deserialize)."""
+    """Full native verification of a SERIALIZED v1/v2 proof (the reference
+    protocol: Fibonacci AIR, single column; v2 = the extension-field
+    challenge mode). Parses, replays the transcript, and runs every check of
+    toyni_tpu/verifier.py in C — the production host-verify path; the Python
+    verifier remains the bit-exactness oracle (differential-tested, incl.
+    the tamper fuzz). Raises ValueError on a malformed blob (mirroring
+    proof.deserialize)."""
     import struct
 
     from ..config import DEFAULT_CONFIG
@@ -149,7 +151,7 @@ def verify_proof_blob(blob: bytes, config=None) -> bool:
     b = np.frombuffer(blob, np.uint8)
     rc = lib.stark_verify_v1(
         _u8p(b), len(blob), cfg.num_queries, cfg.blowup, cfg.coset_shift,
-        final_size,
+        final_size, int(bool(cfg.ext_challenges)),
     )
     if rc < 0:
         raise ValueError("corrupt proof blob")

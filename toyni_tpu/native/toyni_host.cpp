@@ -270,17 +270,119 @@ struct Reader {
     }
 };
 
+// ── quartic extension F_p[X]/(X^4 - 11) (host scalar; field/ext.py) ─────────
+
+struct E {
+    uint64_t c[4];
+};
+
+static const uint64_t EW = 11;
+
+static inline E e_from_base(uint64_t v) { return E{{v % P, 0, 0, 0}}; }
+
+static inline E e_add(const E& a, const E& b) {
+    E r;
+    for (int i = 0; i < 4; i++) r.c[i] = bb_add(a.c[i] % P, b.c[i] % P);
+    return r;
+}
+
+static inline E e_sub(const E& a, const E& b) {
+    E r;
+    for (int i = 0; i < 4; i++) r.c[i] = bb_sub(a.c[i] % P, b.c[i] % P);
+    return r;
+}
+
+static inline E e_mul(const E& aa, const E& bb) {
+    uint64_t a[4], b[4];
+    for (int i = 0; i < 4; i++) { a[i] = aa.c[i] % P; b[i] = bb.c[i] % P; }
+    unsigned __int128 r0 =
+        (unsigned __int128)a[0] * b[0]
+        + (unsigned __int128)EW * ((unsigned __int128)a[1] * b[3]
+                                   + (unsigned __int128)a[2] * b[2]
+                                   + (unsigned __int128)a[3] * b[1]);
+    unsigned __int128 r1 =
+        (unsigned __int128)a[0] * b[1] + (unsigned __int128)a[1] * b[0]
+        + (unsigned __int128)EW * ((unsigned __int128)a[2] * b[3]
+                                   + (unsigned __int128)a[3] * b[2]);
+    unsigned __int128 r2 =
+        (unsigned __int128)a[0] * b[2] + (unsigned __int128)a[1] * b[1]
+        + (unsigned __int128)a[2] * b[0]
+        + (unsigned __int128)EW * ((unsigned __int128)a[3] * b[3]);
+    unsigned __int128 r3 =
+        (unsigned __int128)a[0] * b[3] + (unsigned __int128)a[1] * b[2]
+        + (unsigned __int128)a[2] * b[1] + (unsigned __int128)a[3] * b[0];
+    return E{{(uint64_t)(r0 % P), (uint64_t)(r1 % P), (uint64_t)(r2 % P),
+              (uint64_t)(r3 % P)}};
+}
+
+static inline E e_mul_base(const E& a, uint64_t s) {
+    E r;
+    for (int i = 0; i < 4; i++) r.c[i] = bb_mul(a.c[i] % P, s % P);
+    return r;
+}
+
+static E e_pow128(E a, unsigned __int128 e) {
+    E result = e_from_base(1);
+    while (e > 0) {
+        if (e & 1) result = e_mul(result, a);
+        a = e_mul(a, a);
+        e >>= 1;
+    }
+    return result;
+}
+
+static E e_inv(const E& a) { // a^(p^4 - 2); 0 -> 0 (unreachable in protocol)
+    unsigned __int128 p2 = (unsigned __int128)P * P;
+    unsigned __int128 exp = p2 * p2 - 2; // p^4 fits 124 bits
+    return e_pow128(a, exp);
+}
+
+static inline bool e_eq(const E& a, const E& b) {
+    for (int i = 0; i < 4; i++)
+        if (a.c[i] != b.c[i]) return false;
+    return true;
+}
+
+// ── openings ────────────────────────────────────────────────────────────────
+
 struct Op {
-    uint64_t index, value;
+    uint64_t index;
+    uint64_t limbs[4]; // raw limb values (first nlimbs; rest zero)
+    uint32_t nlimbs;   // 1 = base value, 4 = ext value
+    const uint8_t* value_raw; // the serialized limb bytes (leaf encoding)
+    uint32_t value_raw_len;
     const uint8_t* salt;
     uint32_t salt_len;
     const uint8_t* path; // path_len x (32-byte sibling + 1 flag byte)
     uint32_t path_len;
 };
 
-static bool read_opening(Reader& r, Op& op) {
+static bool read_opening(Reader& r, Op& op, bool v2) {
     op.index = r.u64();
-    op.value = r.u64();
+    op.limbs[0] = op.limbs[1] = op.limbs[2] = op.limbs[3] = 0;
+    if (v2) {
+        op.nlimbs = r.u32();
+        if (!r.ok || (uint64_t)op.nlimbs * 8 > r.len - r.off) return false;
+        if (op.nlimbs <= 1) {
+            // proof.py reads ONE u64 even for a 0 count — replicate exactly
+            op.nlimbs = 1;
+            op.value_raw = r.p + r.off;
+            op.value_raw_len = 8;
+            op.limbs[0] = r.u64();
+        } else {
+            op.value_raw = r.p + r.off;
+            op.value_raw_len = op.nlimbs * 8;
+            for (uint32_t i = 0; i < op.nlimbs; i++) {
+                uint64_t v = r.u64();
+                if (i < 4) op.limbs[i] = v;
+            }
+        }
+    } else {
+        op.nlimbs = 1;
+        op.value_raw = r.p + r.off;
+        op.value_raw_len = 8;
+        op.limbs[0] = r.u64();
+    }
     op.salt_len = r.u32();
     op.salt = r.bytes(op.salt_len);
     op.path_len = r.u32();
@@ -305,11 +407,11 @@ static bool op_verify(const Op& op, const uint8_t* root,
 
     uint8_t cur[32];
     {
-        std::vector<uint8_t> leaf(1 + op.salt_len + 8);
+        // leaf = 0x00 tag || salt || value bytes (the serialized LE limbs)
+        std::vector<uint8_t> leaf(1 + op.salt_len + op.value_raw_len);
         leaf[0] = 0x00;
         memcpy(leaf.data() + 1, op.salt, op.salt_len);
-        for (int i = 0; i < 8; i++)
-            leaf[1 + op.salt_len + i] = uint8_t(op.value >> (8 * i));
+        memcpy(leaf.data() + 1 + op.salt_len, op.value_raw, op.value_raw_len);
         sha256_one(leaf.data(), leaf.size(), cur);
     }
     uint8_t buf[65];
@@ -359,18 +461,24 @@ static inline uint64_t lift(uint64_t v) { return v % P; }
 
 extern "C" {
 
-// Verify a serialized v1 proof. Returns 1 accept, 0 reject, -1 parse error.
-// `final_size` comes from the Python config (StarkConfig.final_layer_size).
+// Verify a serialized v1/v2 proof (reference protocol: Fibonacci AIR,
+// single column; v2 = extension-field challenges). Returns 1 accept,
+// 0 reject, -1 parse error. `final_size` comes from the Python config
+// (StarkConfig.final_layer_size); `expect_ext` from cfg.ext_challenges.
 int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
                     uint64_t num_queries, uint64_t blowup,
-                    uint64_t coset_shift, uint64_t final_size) {
+                    uint64_t coset_shift, uint64_t final_size,
+                    int expect_ext) {
     using namespace sv;
     Reader r(blob, blob_len);
     const uint8_t* magic = r.bytes(4);
     if (!magic || memcmp(magic, "TSTK", 4) != 0) return -1;
-    if (r.u16() != 1) return -1; // base-field single-column format only
+    uint16_t version = r.u16();
+    if (version != 1 && version != 2) return -1; // multi formats stay Python
+    bool ext = version == 2;
     uint64_t n = r.u64(), N = r.u64();
     if (!r.ok) return -1;
+    if ((ext ? 1 : 0) != (expect_ext ? 1 : 0)) return 0; // mode mismatch
     if (N != n * blowup) return 0;
     if (n == 0 || (n & (n - 1)) != 0) return 0;
     int log_n = 0, log_N = 0;
@@ -379,14 +487,24 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
     if (log_N > 27) return 0; // beyond BabyBear 2-adicity
     const uint8_t* trace_c = r.bytes(32);
     const uint8_t* quot_c = r.bytes(32);
-    uint64_t t_z = r.u64(), t_gz = r.u64(), t_ggz = r.u64(), q_z = r.u64();
+    uint32_t SL = ext ? 4 : 1; // scalar limbs
+
+    auto read_scalar = [&](E& e) {
+        e = E{{0, 0, 0, 0}};
+        for (uint32_t i = 0; i < SL; i++) e.c[i] = r.u64();
+    };
+    E t_z, t_gz, t_ggz, q_z;
+    read_scalar(t_z);
+    read_scalar(t_gz);
+    read_scalar(t_ggz);
+    read_scalar(q_z);
     uint32_t n_fri = r.u32();
     if (!r.ok || (uint64_t)n_fri * 32 > r.len - r.off) return -1;
     const uint8_t* fri_c = r.bytes((uint64_t)n_fri * 32);
     uint32_t final_len = r.u32();
-    if (!r.ok || (uint64_t)final_len * 8 > r.len - r.off) return -1;
-    std::vector<uint64_t> final_layer(final_len);
-    for (uint32_t i = 0; i < final_len; i++) final_layer[i] = r.u64();
+    if (!r.ok || (uint64_t)final_len * 8 * SL > r.len - r.off) return -1;
+    std::vector<E> final_layer(final_len);
+    for (uint32_t i = 0; i < final_len; i++) read_scalar(final_layer[i]);
     uint32_t n_queries = r.u32();
     if (!r.ok) return -1;
 
@@ -399,23 +517,36 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
     tr.absorb(trace_c, 32);
     tr.absorb(quot_c, 32);
     uint64_t h_n = bb_pow(shift, N);
-    uint64_t z;
-    for (;;) {
-        z = tr.challenge();
-        uint64_t zn = bb_pow(z, N);
-        if (zn != 1 && zn != h_n) break;
+    E z{{0, 0, 0, 0}};
+    if (ext) {
+        for (;;) {
+            for (int i = 0; i < 4; i++) z.c[i] = tr.challenge();
+            if (z.c[1] == 0 && z.c[2] == 0 && z.c[3] == 0) {
+                uint64_t zn = bb_pow(z.c[0], N);
+                if (zn == 1 || zn == h_n) continue;
+            }
+            break;
+        }
+    } else {
+        for (;;) {
+            z.c[0] = tr.challenge();
+            uint64_t zn = bb_pow(z.c[0], N);
+            if (zn != 1 && zn != h_n) break;
+        }
     }
 
     // ── OOD identity: C(z) = Q(z) * Z_H(z) (verifier.rs:43-49) ──────────
     {
-        uint64_t fib = bb_sub(bb_sub(lift(t_ggz), lift(t_gz)), lift(t_z));
-        uint64_t b1 = bb_sub(z, bb_pow(g, n - 1));
-        uint64_t b2 = bb_sub(z, bb_pow(g, n - 2));
-        uint64_t c_z = bb_mul(bb_mul(fib, b1), b2);
-        uint64_t z_z = bb_sub(bb_pow(z, n), 1);
-        if (c_z != bb_mul(q_z, z_z)) return 0;
+        E fib = e_sub(e_sub(t_ggz, t_gz), t_z);
+        E b1 = e_sub(z, e_from_base(bb_pow(g, n - 1)));
+        E b2 = e_sub(z, e_from_base(bb_pow(g, n - 2)));
+        E c_z = e_mul(e_mul(fib, b1), b2);
+        E z_z = e_sub(ext ? e_pow128(z, n) : e_from_base(bb_pow(z.c[0], n)),
+                      e_from_base(1));
+        if (!e_eq(c_z, e_mul(q_z, z_z))) return 0;
     }
-    for (uint64_t v : {t_z, t_gz, t_ggz, q_z}) tr.absorb_u64le(v);
+    for (const E* v : {&t_z, &t_gz, &t_ggz, &q_z})
+        for (uint32_t i = 0; i < SL; i++) tr.absorb_u64le(v->c[i]);
 
     // ── FRI schedule checks (verifier.rs:51-79) ─────────────────────────
     if (n_fri == 0 || final_size == 0 || N % final_size) return 0;
@@ -424,16 +555,18 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
     if (n_fri != expected_folds + 1) return 0;
     if (final_len != final_size) return 0;
     for (uint32_t i = 1; i < final_len; i++)
-        if (final_layer[i] != final_layer[0]) return 0;
+        for (uint32_t l = 0; l < SL; l++)
+            if (final_layer[i].c[l] != final_layer[0].c[l]) return 0;
     {
-        // unsalted final-layer root (leaf = value 8B LE, tag 0x00)
+        // unsalted final-layer root (leaf = raw value limbs LE, tag 0x00)
         std::vector<uint8_t> digests((uint64_t)final_len * 32);
-        uint8_t leaf[9];
+        uint8_t leaf[1 + 32];
         leaf[0] = 0x00;
         for (uint32_t i = 0; i < final_len; i++) {
-            for (int b = 0; b < 8; b++)
-                leaf[1 + b] = uint8_t(final_layer[i] >> (8 * b));
-            sha256_one(leaf, 9, digests.data() + (uint64_t)i * 32);
+            for (uint32_t l = 0; l < SL; l++)
+                for (int b = 0; b < 8; b++)
+                    leaf[1 + 8 * l + b] = uint8_t(final_layer[i].c[l] >> (8 * b));
+            sha256_one(leaf, 1 + 8 * SL, digests.data() + (uint64_t)i * 32);
         }
         uint64_t cnt = final_len;
         uint8_t buf[65];
@@ -458,9 +591,10 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
     }
 
     tr.absorb(fri_c, 32);
-    std::vector<uint64_t> betas(expected_folds);
+    std::vector<E> betas(expected_folds);
     for (uint32_t i = 1; i < n_fri; i++) {
-        betas[i - 1] = tr.challenge();
+        betas[i - 1] = E{{0, 0, 0, 0}};
+        for (uint32_t l = 0; l < SL; l++) betas[i - 1].c[l] = tr.challenge();
         tr.absorb(fri_c + (uint64_t)i * 32, 32);
     }
 
@@ -477,14 +611,33 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
     if (n_queries != num_queries) return 0;
 
     uint64_t half_inv = (P + 1) / 2;
+    uint32_t VL = SL; // DEEP/FRI opening limb count in this mode
+
+    // python compares the RAW opened value to the reduced expectation; a
+    // wrong limb count or any unreduced limb can never match
+    auto val_eq = [&](const Op& op, const E& expect) {
+        if (op.nlimbs < VL) return false; // python length mismatch / shrink
+        for (uint32_t l = 0; l < VL; l++)
+            if (op.limbs[l] != expect.c[l]) return false;
+        // python tuple equality also requires equal length (>4 truncated
+        // limbs live only in the leaf bytes; tuple compare uses all limbs)
+        return op.nlimbs == VL;
+    };
+    auto val_e = [&](const Op& op) { // raw limbs (first 4) as an E
+        E e{{0, 0, 0, 0}};
+        for (uint32_t l = 0; l < 4 && l < op.nlimbs; l++)
+            e.c[l] = op.limbs[l];
+        return e;
+    };
 
     // ── per-query checks (verifier.rs:105-229) ──────────────────────────
+    bool v2 = ext; // wire v2 opening encoding iff ext challenges
     for (uint64_t q = 0; q < n_queries; q++) {
         uint64_t stored_index = r.u64();
         Op deep, deep_pair, tr0, tr1, tr2, quot;
-        if (!read_opening(r, deep) || !read_opening(r, deep_pair) ||
-            !read_opening(r, tr0) || !read_opening(r, tr1) ||
-            !read_opening(r, tr2) || !read_opening(r, quot))
+        if (!read_opening(r, deep, v2) || !read_opening(r, deep_pair, v2) ||
+            !read_opening(r, tr0, v2) || !read_opening(r, tr1, v2) ||
+            !read_opening(r, tr2, v2) || !read_opening(r, quot, v2))
             return -1;
         uint32_t n_fri_op = r.u32();
         // bounds sanity: each opening is at least 24 bytes (two u64 + two
@@ -492,7 +645,7 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
         if (!r.ok || (uint64_t)n_fri_op * 2 * 24 > r.len - r.off) return -1;
         std::vector<Op> fri_ops(2 * (uint64_t)n_fri_op);
         for (uint32_t i = 0; i < 2 * n_fri_op; i++)
-            if (!read_opening(r, fri_ops[i])) return -1;
+            if (!read_opening(r, fri_ops[i], v2)) return -1;
 
         uint64_t qi = qidx[q];
         if (stored_index != qi) return 0;
@@ -506,24 +659,34 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
         if (!op_verify(quot, quot_c, qi, N)) return 0;
         if (!op_verify(deep, fri_c, qi, N)) return 0;
         if (!op_verify(deep_pair, fri_c, qi + half0, N)) return 0;
+        if (ext) {
+            // trace/quotient values must be base ints in ext mode — a tuple
+            // value makes the Python verifier raise (non-accepting)
+            for (const Op* o : {&tr0, &tr1, &tr2, &quot})
+                if (o->nlimbs != 1) return 0;
+            // ext-value slots that shape the fold algebra need >= 4 limbs
+            if (deep.nlimbs < 4 || deep_pair.nlimbs < 4) return 0;
+            for (const Op& o : fri_ops)
+                if (o.nlimbs < 4) return 0;
+        }
 
         // DEEP reconstruction
         uint64_t x_i = bb_mul(shift, bb_pow(omega_N, qi));
-        uint64_t inv_xz = bb_pow(bb_sub(x_i, z), P - 2);
-        uint64_t num = bb_sub(lift(quot.value), lift(q_z));
-        num = bb_add(num, bb_sub(lift(tr2.value), lift(t_ggz)));
-        num = bb_add(num, bb_sub(lift(tr1.value), lift(t_gz)));
-        num = bb_add(num, bb_sub(lift(tr0.value), lift(t_z)));
-        // match Python: subtractions use the RAW (unlifted) OOD ints mod p,
-        // which equals lifting them first; the opened value compares RAW
-        if (deep.value != bb_mul(num, inv_xz)) return 0;
+        E inv_xz = ext ? e_inv(e_sub(e_from_base(x_i), z))
+                       : e_from_base(bb_pow(bb_sub(x_i, z.c[0]), P - 2));
+        E num = e_sub(e_from_base(quot.limbs[0] % P), q_z);
+        num = e_add(num, e_sub(e_from_base(tr2.limbs[0] % P), t_ggz));
+        num = e_add(num, e_sub(e_from_base(tr1.limbs[0] % P), t_gz));
+        num = e_add(num, e_sub(e_from_base(tr0.limbs[0] % P), t_z));
+        if (!val_eq(deep, e_mul(num, inv_xz))) return 0;
 
         // fold layer 0 -> 1
-        uint64_t a0 = lift(deep.value), b0 = lift(deep_pair.value);
-        uint64_t avg = bb_mul(bb_add(a0, b0), half_inv);
-        uint64_t diff = bb_mul(bb_sub(a0, b0), half_inv);
-        uint64_t prev = bb_add(
-            avg, bb_mul(bb_mul(diff, betas[0]), bb_pow(x_i, P - 2)));
+        E a0 = val_e(deep), b0 = val_e(deep_pair);
+        E avg = e_mul_base(e_add(a0, b0), half_inv);
+        E diff = e_mul_base(e_sub(a0, b0), half_inv);
+        E prev = e_add(
+            avg,
+            e_mul_base(e_mul(diff, betas[0]), bb_pow(x_i, P - 2)));
 
         uint64_t pos = qi;
         for (uint32_t layer = 0; layer < n_fri_op; layer++) {
@@ -540,21 +703,22 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
                            layer_size))
                 return 0;
             if (in_first_half) {
-                if (op.value != prev) return 0;
-            } else if (op_pair.value != prev) {
+                if (!val_eq(op, prev)) return 0;
+            } else if (!val_eq(op_pair, prev)) {
                 return 0;
             }
             uint64_t x = bb_pow(bb_mul(shift, bb_pow(omega_N, lo)),
                                 1ULL << fold_k);
-            uint64_t a = lift(op.value), b = lift(op_pair.value);
-            avg = bb_mul(bb_add(a, b), half_inv);
-            diff = bb_mul(bb_sub(a, b), half_inv);
-            prev = bb_add(
+            E a = val_e(op), b = val_e(op_pair);
+            avg = e_mul_base(e_add(a, b), half_inv);
+            diff = e_mul_base(e_sub(a, b), half_inv);
+            prev = e_add(
                 avg,
-                bb_mul(bb_mul(diff, betas[fold_k]), bb_pow(x, P - 2)));
+                e_mul_base(e_mul(diff, betas[fold_k]), bb_pow(x, P - 2)));
             pos = lo;
         }
-        if (final_layer[pos] != prev) return 0;
+        for (uint32_t l = 0; l < SL; l++)
+            if (final_layer[pos].c[l] != prev.c[l]) return 0;
     }
     return 1;
 }
