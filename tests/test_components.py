@@ -148,3 +148,24 @@ def test_poly_sub_scale_format():
     assert format_poly([5]) == "5"
     assert format_poly([0, 0]) == "0"
     assert format_poly([]) == "0"
+
+
+def test_profiling_roofline_counters():
+    """SURVEY §5: per-kernel roofline counters — XLA cost analysis exposes
+    flops/bytes/intensity and a speed-of-light floor for any jitted
+    program."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from toyni_tpu import profiling
+    from toyni_tpu.field import babybear as bb
+    from toyni_tpu.field.babybear import P
+
+    x = jnp.asarray(np.arange(1 << 12, dtype=np.uint32) % P)
+    c = profiling.cost_summary(lambda v: bb.mont_mul(v, v), x)
+    assert c["flops"] > 0 and c["bytes_accessed"] > 0
+    assert c["roofline_bound"] in ("memory", "compute")
+    line = profiling.roofline(
+        lambda v: bb.mont_mul(v, v), x, measured_seconds=1e-3
+    )
+    assert "speed-of-light" in line and "bound=" in line

@@ -68,3 +68,64 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+# ── roofline counters ───────────────────────────────────────────────────────
+
+# Peak numbers for TPU v5 lite (v5e), the deployment target. Swap for other
+# chips; used only to express measured/estimated rates as a fraction of
+# speed-of-light.
+V5E_PEAKS = dict(
+    hbm_gbps=819.0,        # HBM bandwidth
+    bf16_tflops=197.0,     # MXU, bf16
+    int8_tops=394.0,       # MXU, int8
+)
+
+
+def cost_summary(fn, *args, static_argnums=()) -> dict:
+    """XLA cost analysis of `jit(fn)(*args)`: total flops, HBM bytes
+    accessed, arithmetic intensity, and the roofline bound implied by the
+    v5e peaks. Works on any backend (analysis happens at compile time) —
+    the per-kernel counterpart of the phase timers, answering 'is this
+    program compute- or bandwidth-bound, and how far from speed-of-light?'.
+    """
+    import jax
+
+    lowered = jax.jit(fn, static_argnums=static_argnums).lower(*args)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):  # some jax versions return [dict]
+        cost = cost[0] if cost else {}
+    flops = float(cost.get("flops", 0.0))
+    bytes_accessed = float(cost.get("bytes accessed", 0.0))
+    intensity = flops / bytes_accessed if bytes_accessed else float("inf")
+    # roofline: time lower-bounded by both the bandwidth and compute limits
+    t_mem = bytes_accessed / (V5E_PEAKS["hbm_gbps"] * 1e9)
+    t_flop = flops / (V5E_PEAKS["bf16_tflops"] * 1e12)
+    bound = "memory" if t_mem >= t_flop else "compute"
+    return dict(
+        flops=flops,
+        bytes_accessed=bytes_accessed,
+        arithmetic_intensity=intensity,
+        min_seconds_memory=t_mem,
+        min_seconds_compute=t_flop,
+        roofline_bound=bound,
+    )
+
+
+def roofline(fn, *args, measured_seconds: float | None = None,
+             static_argnums=()) -> str:
+    """Human-readable roofline line for a jitted program; pass a measured
+    steady-state time to get the fraction of speed-of-light achieved."""
+    c = cost_summary(fn, *args, static_argnums=static_argnums)
+    floor = max(c["min_seconds_memory"], c["min_seconds_compute"])
+    line = (
+        f"flops={c['flops']:.3e} bytes={c['bytes_accessed']:.3e} "
+        f"AI={c['arithmetic_intensity']:.2f} bound={c['roofline_bound']} "
+        f"floor={floor*1e3:.3f}ms"
+    )
+    if measured_seconds is not None and floor > 0:
+        line += (
+            f" measured={measured_seconds*1e3:.3f}ms "
+            f"({floor/measured_seconds:.1%} of speed-of-light)"
+        )
+    return line
