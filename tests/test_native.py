@@ -186,3 +186,59 @@ def test_native_verifier_ext_mode_v2():
         except Exception:
             nat_acc = False
         assert py_acc == nat_acc
+
+
+def test_native_verifier_multi_formats_v3_v4():
+    """v3/v4 (multi-column / multi-constraint, base and ext): native accept
+    for the bundled Pair and Sbox AIRs, shape-mismatch rejection, and fuzz
+    agreement with the Python oracle."""
+    import random
+
+    from toyni_tpu import proof as proof_mod
+    from toyni_tpu.air import PairFibonacciAir, SboxChainAir
+    from toyni_tpu.config import StarkConfig
+    from toyni_tpu.prover import StarkProver
+    from toyni_tpu.trace import ExecutionTrace
+    from toyni_tpu.verifier import StarkVerifier
+
+    pair = PairFibonacciAir()
+    ca, cb = PairFibonacciAir.generate_trace(64)
+    t2 = ExecutionTrace()
+    t2.insert_column(ca)
+    t2.insert_column(cb)
+    blob3 = proof_mod.serialize(
+        StarkProver(t2, air=pair, seed=3).generate_proof()
+    )
+    assert native.verify_proof_blob(blob3, air=pair) is True
+    assert native.verify_proof_blob(blob3) is False  # fib AIR vs v3 blob
+
+    sb = SboxChainAir()
+    cfg_sb = StarkConfig(constraint_degree=sb.constraint_degree)
+    t3 = ExecutionTrace()
+    t3.insert_column(SboxChainAir.generate_trace(64))
+    blob_sb = proof_mod.serialize(
+        StarkProver(t3, air=sb, config=cfg_sb, seed=3).generate_proof()
+    )
+    assert native.verify_proof_blob(blob_sb, cfg_sb, air=sb) is True
+
+    cfg4 = StarkConfig(ext_challenges=True)
+    blob4 = proof_mod.serialize(
+        StarkProver(t2, air=pair, config=cfg4, seed=3).generate_proof()
+    )
+    assert native.verify_proof_blob(blob4, cfg4, air=pair) is True
+
+    v = StarkVerifier(air=pair, config=cfg4)
+    rng = random.Random(0x34)
+    for _ in range(60):
+        b = bytearray(blob4)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        data = bytes(b)
+        try:
+            py_acc = v.verify(proof_mod.deserialize(data))
+        except Exception:
+            py_acc = False
+        try:
+            nat_acc = native.verify_proof_blob(data, cfg4, air=pair)
+        except Exception:
+            nat_acc = False
+        assert py_acc == nat_acc

@@ -96,12 +96,7 @@ def cmd_verify(args) -> int:
     if args.native:
         from toyni_tpu import native
 
-        if args.air != "fib":
-            raise SystemExit(
-                "--native covers the reference protocol (fib AIR; base or "
-                "ext challenges)"
-            )
-        ok = native.verify_proof_blob(blob, cfg)
+        ok = native.verify_proof_blob(blob, cfg, air=air)
         how = "native"
     else:
         ok = StarkVerifier(air=air, config=cfg).verify(proof)
@@ -177,7 +172,7 @@ def main(argv=None) -> int:
     pv.add_argument("--air", **air_kw)
     pv.add_argument(
         "--native", action="store_true",
-        help="full C++ verifier (reference protocol only)",
+        help="full C++ verifier (bundled AIRs, all wire formats)",
     )
     pv.set_defaults(fn=cmd_verify)
 

@@ -55,7 +55,7 @@ def load():
     lib.merkle_verify.argtypes = [u8p, u64, u8p, u8p, u64, u8p]
     lib.merkle_verify.restype = ctypes.c_int
     lib.stark_verify_v1.argtypes = [u8p, u64, u64, u64, u64, u64,
-                                    ctypes.c_int]
+                                    ctypes.c_int, ctypes.c_int]
     lib.stark_verify_v1.restype = ctypes.c_int
     _lib = lib
     return _lib
@@ -126,14 +126,32 @@ def merkle_build_levels(leaf_digests: np.ndarray) -> list:
     return levels
 
 
-def verify_proof_blob(blob: bytes, config=None) -> bool:
-    """Full native verification of a SERIALIZED v1/v2 proof (the reference
-    protocol: Fibonacci AIR, single column; v2 = the extension-field
-    challenge mode). Parses, replays the transcript, and runs every check of
-    toyni_tpu/verifier.py in C — the production host-verify path; the Python
-    verifier remains the bit-exactness oracle (differential-tested, incl.
-    the tamper fuzz). Raises ValueError on a malformed blob (mirroring
-    proof.deserialize)."""
+def _air_id(air) -> int:
+    """Bundled-AIR identifier for the native verifier (custom AIRs stay on
+    the Python verifier — their constraints are arbitrary callables)."""
+    from ..air import FibonacciAir, PairFibonacciAir, SboxChainAir
+
+    if air is None or isinstance(air, FibonacciAir):
+        return 0
+    if isinstance(air, PairFibonacciAir):
+        return 1
+    if isinstance(air, SboxChainAir):
+        return 2
+    raise NotImplementedError(
+        "native verifier covers the bundled AIRs; use the Python verifier "
+        "for custom constraint systems"
+    )
+
+
+def verify_proof_blob(blob: bytes, config=None, air=None) -> bool:
+    """Full native verification of a SERIALIZED proof (wire v1-v4) for a
+    bundled AIR: the reference protocol (Fibonacci, v1), its ext-challenge
+    mode (v2), and the multi-column/multi-constraint formats (v3/v4 with
+    PairFibonacci or SboxChain). Parses, replays the transcript, and runs
+    every check of toyni_tpu/verifier.py in C — the production host-verify
+    path; the Python verifier remains the bit-exactness oracle
+    (differential-tested, incl. the tamper fuzz). Raises ValueError on a
+    malformed blob (mirroring proof.deserialize)."""
     import struct
 
     from ..config import DEFAULT_CONFIG
@@ -151,7 +169,7 @@ def verify_proof_blob(blob: bytes, config=None) -> bool:
     b = np.frombuffer(blob, np.uint8)
     rc = lib.stark_verify_v1(
         _u8p(b), len(blob), cfg.num_queries, cfg.blowup, cfg.coset_shift,
-        final_size, int(bool(cfg.ext_challenges)),
+        final_size, int(bool(cfg.ext_challenges)), _air_id(air),
     )
     if rc < 0:
         raise ValueError("corrupt proof blob")

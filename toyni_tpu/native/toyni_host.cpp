@@ -461,24 +461,45 @@ static inline uint64_t lift(uint64_t v) { return v % P; }
 
 extern "C" {
 
-// Verify a serialized v1/v2 proof (reference protocol: Fibonacci AIR,
-// single column; v2 = extension-field challenges). Returns 1 accept,
+// Verify a serialized v1-v4 proof for a BUNDLED AIR. air_id: 0 = Fibonacci
+// (the reference protocol, wire v1/v2), 1 = PairFibonacci (k=2, nc=2, ns=2),
+// 2 = SboxChain (x^7, ns=2) — the multi formats v3/v4. Returns 1 accept,
 // 0 reject, -1 parse error. `final_size` comes from the Python config
 // (StarkConfig.final_layer_size); `expect_ext` from cfg.ext_challenges.
 int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
                     uint64_t num_queries, uint64_t blowup,
                     uint64_t coset_shift, uint64_t final_size,
-                    int expect_ext) {
+                    int expect_ext, int air_id) {
     using namespace sv;
+    // bundled-AIR shapes (k columns, nc constraints, ns shifted openings)
+    uint32_t AK = 1, ANC = 1, ANS = 3;
+    if (air_id == 1) { AK = 2; ANC = 2; ANS = 2; }
+    else if (air_id == 2) { AK = 1; ANC = 1; ANS = 2; }
+    else if (air_id != 0) return -1;
+    bool multi = air_id != 0;
+
     Reader r(blob, blob_len);
     const uint8_t* magic = r.bytes(4);
     if (!magic || memcmp(magic, "TSTK", 4) != 0) return -1;
     uint16_t version = r.u16();
-    if (version != 1 && version != 2) return -1; // multi formats stay Python
-    bool ext = version == 2;
+    if (version < 1 || version > 4) return -1;
+    bool ext = (version == 2 || version == 4);
+    bool wire_multi = (version >= 3);
     uint64_t n = r.u64(), N = r.u64();
+    uint16_t w_k = 1, w_ns = 3;
+    if (wire_multi) {
+        w_k = r.u16();
+        w_ns = r.u16();
+        if (!r.ok || w_k == 0 || w_k > 64 || w_ns == 0 || w_ns > 64)
+            return -1;
+    }
     if (!r.ok) return -1;
     if ((ext ? 1 : 0) != (expect_ext ? 1 : 0)) return 0; // mode mismatch
+    // the proof's shape must match the AIR's (verifier.py multi checks);
+    // a v1/v2 blob under a multi AIR (or vice versa) is a clean reject
+    if (wire_multi != multi) return 0;
+    if (multi && (w_k != AK || w_ns != ANS)) return 0;
+    uint32_t K = AK, NS = ANS, NC = ANC;
     if (N != n * blowup) return 0;
     if (n == 0 || (n & (n - 1)) != 0) return 0;
     int log_n = 0, log_N = 0;
@@ -493,11 +514,23 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
         e = E{{0, 0, 0, 0}};
         for (uint32_t i = 0; i < SL; i++) e.c[i] = r.u64();
     };
-    E t_z, t_gz, t_ggz, q_z;
-    read_scalar(t_z);
-    read_scalar(t_gz);
-    read_scalar(t_ggz);
-    read_scalar(q_z);
+    // OOD values: non-multi = (t_z, t_gz, t_ggz, q_z); multi = shift-major
+    // column-minor rows then q_z. Uniform storage: ood[s*K + c], then q_z.
+    std::vector<E> ood(NS * K);
+    E t_z{{0, 0, 0, 0}}, t_gz{{0, 0, 0, 0}}, t_ggz{{0, 0, 0, 0}};
+    E q_z{{0, 0, 0, 0}};
+    if (multi) {
+        for (uint32_t i = 0; i < NS * K; i++) read_scalar(ood[i]);
+        read_scalar(q_z);
+    } else {
+        read_scalar(t_z);
+        read_scalar(t_gz);
+        read_scalar(t_ggz);
+        read_scalar(q_z);
+        ood[0] = t_z;
+        ood[1] = t_gz;
+        ood[2] = t_ggz;
+    }
     uint32_t n_fri = r.u32();
     if (!r.ok || (uint64_t)n_fri * 32 > r.len - r.off) return -1;
     const uint8_t* fri_c = r.bytes((uint64_t)n_fri * 32);
@@ -515,6 +548,9 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
     // ── transcript replay: roots -> z (verifier.rs:31-41) ───────────────
     Transcript tr;
     tr.absorb(trace_c, 32);
+    std::vector<uint64_t> alphas(NC, 0);
+    if (multi && NC > 1)
+        for (uint32_t i = 0; i < NC; i++) alphas[i] = tr.challenge();
     tr.absorb(quot_c, 32);
     uint64_t h_n = bb_pow(shift, N);
     E z{{0, 0, 0, 0}};
@@ -537,16 +573,31 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
 
     // ── OOD identity: C(z) = Q(z) * Z_H(z) (verifier.rs:43-49) ──────────
     {
-        E fib = e_sub(e_sub(t_ggz, t_gz), t_z);
-        E b1 = e_sub(z, e_from_base(bb_pow(g, n - 1)));
-        E b2 = e_sub(z, e_from_base(bb_pow(g, n - 2)));
-        E c_z = e_mul(e_mul(fib, b1), b2);
+        E c_z;
+        E bdry = e_sub(z, e_from_base(bb_pow(g, n - 1)));
+        if (air_id == 0) { // Fibonacci (air.py FibonacciAir.constraint_at)
+            E fib = e_sub(e_sub(ood[2], ood[1]), ood[0]);
+            E b2 = e_sub(z, e_from_base(bb_pow(g, n - 2)));
+            c_z = e_mul(e_mul(fib, bdry), b2);
+        } else if (air_id == 1) { // PairFibonacci: alpha-composed registers
+            const E &a0 = ood[0], &b0 = ood[1], &a1 = ood[2], &b1 = ood[3];
+            E c1 = e_mul(e_sub(a1, b0), bdry);
+            E c2 = e_mul(e_sub(b1, e_add(a0, b0)), bdry);
+            c_z = e_add(e_mul_base(c1, alphas[0]), e_mul_base(c2, alphas[1]));
+        } else { // SboxChain: T(gx) = (T(x) + x)^7 with RC(x) = x
+            E u = e_add(ood[0], z);
+            E u2 = e_mul(u, u);
+            E u4 = e_mul(u2, u2);
+            E u7 = e_mul(e_mul(u4, u2), u);
+            c_z = e_mul(e_sub(ood[1], u7), bdry);
+        }
         E z_z = e_sub(ext ? e_pow128(z, n) : e_from_base(bb_pow(z.c[0], n)),
                       e_from_base(1));
         if (!e_eq(c_z, e_mul(q_z, z_z))) return 0;
     }
-    for (const E* v : {&t_z, &t_gz, &t_ggz, &q_z})
-        for (uint32_t i = 0; i < SL; i++) tr.absorb_u64le(v->c[i]);
+    for (uint32_t i = 0; i < NS * K; i++)
+        for (uint32_t l = 0; l < SL; l++) tr.absorb_u64le(ood[i].c[l]);
+    for (uint32_t l = 0; l < SL; l++) tr.absorb_u64le(q_z.c[l]);
 
     // ── FRI schedule checks (verifier.rs:51-79) ─────────────────────────
     if (n_fri == 0 || final_size == 0 || N % final_size) return 0;
@@ -631,39 +682,43 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
     };
 
     // ── per-query checks (verifier.rs:105-229) ──────────────────────────
-    bool v2 = ext; // wire v2 opening encoding iff ext challenges
+    // wire v2 opening encoding (limb-count prefix) for ext AND multi formats
+    bool v2enc = ext || wire_multi;
     for (uint64_t q = 0; q < n_queries; q++) {
         uint64_t stored_index = r.u64();
-        Op deep, deep_pair, tr0, tr1, tr2, quot;
-        if (!read_opening(r, deep, v2) || !read_opening(r, deep_pair, v2) ||
-            !read_opening(r, tr0, v2) || !read_opening(r, tr1, v2) ||
-            !read_opening(r, tr2, v2) || !read_opening(r, quot, v2))
+        Op deep, deep_pair, quot;
+        if (!read_opening(r, deep, v2enc) ||
+            !read_opening(r, deep_pair, v2enc))
             return -1;
+        std::vector<Op> trace_ops(NS);
+        for (uint32_t s = 0; s < NS; s++)
+            if (!read_opening(r, trace_ops[s], v2enc)) return -1;
+        if (!read_opening(r, quot, v2enc)) return -1;
         uint32_t n_fri_op = r.u32();
         // bounds sanity: each opening is at least 24 bytes (two u64 + two
         // empty-count u32s) — reject hostile counts before allocating
         if (!r.ok || (uint64_t)n_fri_op * 2 * 24 > r.len - r.off) return -1;
         std::vector<Op> fri_ops(2 * (uint64_t)n_fri_op);
         for (uint32_t i = 0; i < 2 * n_fri_op; i++)
-            if (!read_opening(r, fri_ops[i], v2)) return -1;
+            if (!read_opening(r, fri_ops[i], v2enc)) return -1;
 
         uint64_t qi = qidx[q];
         if (stored_index != qi) return 0;
         if (n_fri_op != expected_folds - 1) return 0;
 
-        const Op* trace_ops[3] = {&tr0, &tr1, &tr2};
-        for (int s = 0; s < 3; s++)
-            if (!op_verify(*trace_ops[s], trace_c,
+        for (uint32_t s = 0; s < NS; s++) {
+            // multi: the opened value must be exactly the k-column bundle
+            // (verifier.py checks len(v) == k before the Merkle proof)
+            if (trace_ops[s].nlimbs != K) return 0;
+            if (!op_verify(trace_ops[s], trace_c,
                            (qi + (uint64_t)s * blowup) % N, N))
                 return 0;
+        }
         if (!op_verify(quot, quot_c, qi, N)) return 0;
         if (!op_verify(deep, fri_c, qi, N)) return 0;
         if (!op_verify(deep_pair, fri_c, qi + half0, N)) return 0;
+        if (quot.nlimbs != 1) return 0; // base int (tuple => Python raises)
         if (ext) {
-            // trace/quotient values must be base ints in ext mode — a tuple
-            // value makes the Python verifier raise (non-accepting)
-            for (const Op* o : {&tr0, &tr1, &tr2, &quot})
-                if (o->nlimbs != 1) return 0;
             // ext-value slots that shape the fold algebra need >= 4 limbs
             if (deep.nlimbs < 4 || deep_pair.nlimbs < 4) return 0;
             for (const Op& o : fri_ops)
@@ -675,9 +730,11 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
         E inv_xz = ext ? e_inv(e_sub(e_from_base(x_i), z))
                        : e_from_base(bb_pow(bb_sub(x_i, z.c[0]), P - 2));
         E num = e_sub(e_from_base(quot.limbs[0] % P), q_z);
-        num = e_add(num, e_sub(e_from_base(tr2.limbs[0] % P), t_ggz));
-        num = e_add(num, e_sub(e_from_base(tr1.limbs[0] % P), t_gz));
-        num = e_add(num, e_sub(e_from_base(tr0.limbs[0] % P), t_z));
+        for (uint32_t s = 0; s < NS; s++)
+            for (uint32_t c = 0; c < K; c++)
+                num = e_add(
+                    num, e_sub(e_from_base(trace_ops[s].limbs[c] % P),
+                               ood[s * K + c]));
         if (!val_eq(deep, e_mul(num, inv_xz))) return 0;
 
         // fold layer 0 -> 1
