@@ -242,3 +242,26 @@ def test_native_verifier_multi_formats_v3_v4():
         except Exception:
             nat_acc = False
         assert py_acc == nat_acc
+
+
+def test_native_verifier_overflow_header_rejected():
+    """Hostile header with trace_len = 2^59, lde_size = 0: the u64 product
+    n * blowup wraps to 0; must be a clean REJECT (matching the Python
+    verifier's bigint compare), not a hang or SIGFPE."""
+    import struct
+
+    blob = bytearray(
+        b"TSTK" + struct.pack("<H", 1)
+        + struct.pack("<Q", 1 << 59) + struct.pack("<Q", 0)
+        + b"\0" * 64           # commitments
+        + b"\0" * 32           # t_z..q_z
+        + struct.pack("<I", 0)  # fri commitments
+        + struct.pack("<I", 0)  # final layer
+        + struct.pack("<I", 0)  # queries
+    )
+    assert native.verify_proof_blob(bytes(blob)) is False
+    # non-power-of-two trace_len: clean reject too (no ValueError divergence)
+    blob2 = bytearray(blob)
+    struct.pack_into("<Q", blob2, 6, 3)
+    struct.pack_into("<Q", blob2, 14, 96)
+    assert native.verify_proof_blob(bytes(blob2)) is False

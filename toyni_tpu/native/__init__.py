@@ -17,6 +17,7 @@ _SRC = os.path.join(_DIR, "toyni_host.cpp")
 _SO = os.path.join(_DIR, "libtoyni_host.so")
 
 _lib = None
+_build_failed = False
 
 
 def _build() -> bool:
@@ -35,11 +36,14 @@ def _build() -> bool:
 
 def load():
     """Load (building if needed) the native library, or None."""
-    global _lib
+    global _lib, _build_failed
     if _lib is not None:
         return _lib
+    if _build_failed:  # don't re-pay a failed compile on every call
+        return None
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
         if not _build():
+            _build_failed = True
             return None
     lib = ctypes.CDLL(_SO)
     u64 = ctypes.c_uint64
@@ -65,6 +69,16 @@ def available() -> bool:
     return load() is not None
 
 
+def _require():
+    """load() or a clear error — callers are expected to gate on
+    `available()`; this turns a missed gate into an explicit failure
+    instead of an AttributeError on None."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable (no C++ toolchain)")
+    return lib
+
+
 def _u64p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
 
@@ -75,14 +89,14 @@ def _u8p(a: np.ndarray):
 
 def ntt(values: np.ndarray, omega: int) -> np.ndarray:
     """Native CPU NTT (in the semantics of the reference src/ntt.rs:24-53)."""
-    lib = load()
+    lib = _require()
     v = np.ascontiguousarray(values, np.uint64) % np.uint64(2013265921)
     lib.bb_ntt(_u64p(v), len(v), omega)
     return v
 
 
 def intt(values: np.ndarray, omega: int) -> np.ndarray:
-    lib = load()
+    lib = _require()
     v = np.ascontiguousarray(values, np.uint64) % np.uint64(2013265921)
     lib.bb_intt(_u64p(v), len(v), omega)
     return v
@@ -90,7 +104,7 @@ def intt(values: np.ndarray, omega: int) -> np.ndarray:
 
 def sha256_batch(msgs: np.ndarray) -> np.ndarray:
     """(count, msg_len) u8 -> (count, 32) u8 digests."""
-    lib = load()
+    lib = _require()
     m = np.ascontiguousarray(msgs, np.uint8)
     out = np.empty((m.shape[0], 32), np.uint8)
     lib.sha256_batch(_u8p(m), m.shape[1], m.shape[0], _u8p(out))
@@ -99,7 +113,7 @@ def sha256_batch(msgs: np.ndarray) -> np.ndarray:
 
 def merkle_leaf_hashes(leaves: np.ndarray) -> np.ndarray:
     """(count, leaf_len) u8 preimages -> (count, 32) tagged leaf digests."""
-    lib = load()
+    lib = _require()
     m = np.ascontiguousarray(leaves, np.uint8)
     out = np.empty((m.shape[0], 32), np.uint8)
     lib.merkle_leaf_hashes(_u8p(m), m.shape[1], m.shape[0], _u8p(out))
@@ -108,7 +122,7 @@ def merkle_leaf_hashes(leaves: np.ndarray) -> np.ndarray:
 
 def merkle_build_levels(leaf_digests: np.ndarray) -> list:
     """(count, 32) u8 leaf digests -> list of upper levels (each (k, 32))."""
-    lib = load()
+    lib = _require()
     d = np.ascontiguousarray(leaf_digests, np.uint8)
     count = d.shape[0]
     sizes = []
@@ -162,10 +176,10 @@ def verify_proof_blob(blob: bytes, config=None, air=None) -> bool:
         raise RuntimeError("native runtime unavailable (no C++ toolchain)")
     if len(blob) < 14:
         raise ValueError("truncated proof")
+    # the C side validates trace_len (clean reject 0 — same verdict the
+    # Python verifier gives); only peek it here for the final-size formula
     n = struct.unpack_from("<Q", blob, 6)[0]
-    if n == 0 or n & (n - 1):
-        raise ValueError("corrupt proof: trace_len not a power of two")
-    final_size = cfg.final_layer_size(n)
+    final_size = cfg.final_layer_size(n) if n else 0
     b = np.frombuffer(blob, np.uint8)
     rc = lib.stark_verify_v1(
         _u8p(b), len(blob), cfg.num_queries, cfg.blowup, cfg.coset_shift,
@@ -177,7 +191,7 @@ def verify_proof_blob(blob: bytes, config=None, air=None) -> bool:
 
 
 def merkle_verify(leaf: bytes, path: list, positions: list, root: bytes) -> bool:
-    lib = load()
+    lib = _require()
     lf = np.frombuffer(leaf, np.uint8)
     pa = np.frombuffer(b"".join(path), np.uint8) if path else np.empty(0, np.uint8)
     po = np.array([1 if p else 0 for p in positions], np.uint8)

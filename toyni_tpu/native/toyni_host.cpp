@@ -455,8 +455,6 @@ struct Transcript {
     uint64_t challenge() { return squeeze_raw() % P; }
 };
 
-static inline uint64_t lift(uint64_t v) { return v % P; }
-
 } // namespace sv
 
 extern "C" {
@@ -500,12 +498,14 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
     if (wire_multi != multi) return 0;
     if (multi && (w_k != AK || w_ns != ANS)) return 0;
     uint32_t K = AK, NS = ANS, NC = ANC;
-    if (N != n * blowup) return 0;
-    if (n == 0 || (n & (n - 1)) != 0) return 0;
+    // widen the product: n = 2^59 * blowup 32 wraps u64 to 0, which would
+    // otherwise accept N = 0 and hang/SIGFPE below (Python compares bigints)
+    if ((unsigned __int128)N != (unsigned __int128)n * blowup) return 0;
+    if (n == 0 || (n & (n - 1)) != 0 || N == 0) return 0;
     int log_n = 0, log_N = 0;
     for (uint64_t t = n; t > 1; t >>= 1) log_n++;
     for (uint64_t t = N; t > 1; t >>= 1) log_N++;
-    if (log_N > 27) return 0; // beyond BabyBear 2-adicity
+    if (log_n > 27 || log_N > 27) return 0; // beyond BabyBear 2-adicity
     const uint8_t* trace_c = r.bytes(32);
     const uint8_t* quot_c = r.bytes(32);
     uint32_t SL = ext ? 4 : 1; // scalar limbs
