@@ -77,8 +77,11 @@ def _level_kernel(m: int, TB: int, fuse_w: bool):
         else:
             (o_ref,) = rest
         x = x_ref[:]  # (m, TB) u32
+        # Mosaic has no direct u32->bf16 cast; hop via i32->f32 (limb values
+        # are 0..255, exact at every step)
         xb = [
-            ((x >> _U32(8 * j)) & _U32(0xFF)).astype(jnp.bfloat16)
+            ((x >> _U32(8 * j)) & _U32(0xFF))
+            .astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
             for j in range(4)
         ]
         # c_k = sum_{i+j=k} M_i @ X_j, exact in f32 (<= 2^24 per dot, < 2^27
@@ -247,13 +250,19 @@ def _dft_level_t(x2d, ml, w=None, *, fuse_w=False, interpret=False):
 
 
 def _factor_levels(n: int) -> list:
-    """Split n into four-step levels of size <= 256, largest first."""
-    out = []
-    while n > 256:
-        out.append(256)
-        n //= 256
-    out.append(n)
-    return out
+    """Split n into four-step levels: the fewest levels with every size
+    <= 256 (the f32-exactness bound — 255^2 * 256 < 2^24), BALANCED.
+
+    Balanced beats greedy-256s because every level costs one full HBM pass
+    regardless of its size, but a tiny trailing level wastes the vector
+    unit: greedy 2^25 -> [256, 256, 256, 2] measured 0.74x vs the XLA
+    four-step (a (2, TB) tile uses 2 of 8 sublanes); balanced 2^25 ->
+    [128, 64, 64, 64] keeps every matmul MXU-shaped at the same level
+    count."""
+    log = n.bit_length() - 1
+    L = max(1, -(-log // 8))
+    base, extra = divmod(log, L)
+    return [1 << (base + (1 if i < extra else 0)) for i in range(L)]
 
 
 @functools.lru_cache(maxsize=16)
@@ -389,7 +398,16 @@ def apply_mxu_ntt_t(values: jnp.ndarray, tabs) -> jnp.ndarray:
     Pallas pass (DFT matmul + fused twiddle + in-kernel transpose), and the
     final digit reversal is fused into the last level's output block map —
     zero XLA transposes end to end. Same contract as `apply_mxu_ntt`
-    (bit-identical; tested)."""
+    (bit-identical; tested).
+
+    REAL-TPU LIMITATION (measured 2026-08): for >=3-level sizes (n > 2^16)
+    the fused digit-reversal output block is (m_L, m_{L-1}, 1, ...) and
+    Mosaic requires the last two block dims divisible by (8, 128) or equal
+    to the array dims — the final `_dft_level_final` does not lower. Any
+    other layout either isn't the natural flat order or needs the very XLA
+    transpose this path exists to avoid. Use v1 (`apply_mxu_ntt`) on
+    hardware — it beats the XLA four-step (5.1 vs 6.4 ms at 2^24); v2 runs
+    everywhere in interpret mode and on TPU for 2-level sizes."""
     n = values.shape[0]
     interpret = _interpret()
     sizes = [ml.shape[1] for ml, _ in tabs]
