@@ -10,9 +10,12 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.abspath(__file__).rsplit("/", 2)[0])
 
-os.environ.setdefault("TOYNI_MXU_NTT", "0")  # sweep builds both explicitly
+# Force (not setdefault) the XLA path for the sweep's baseline leg: a
+# pre-exported TOYNI_MXU_NTT=1 would make ntt_tables() return MXU tables for
+# the "xla" leg too and the sweep would silently report MXU-vs-MXU ~1.00x.
+os.environ["TOYNI_MXU_NTT"] = "0"
 
 
 def main():
@@ -37,7 +40,7 @@ def main():
     jax.config.update("jax_default_device", dev)
     rng = np.random.default_rng(0)
 
-    def bench(fn, x0, tabs, log_n):
+    def bench(fn, x0, tabs):
         f = jax.jit(lambda v, t: fn(v, t))
         head = np.asarray(f(x0, tabs)[:8], np.uint64)
         t0 = time.perf_counter()
@@ -55,9 +58,9 @@ def main():
             jnp.asarray(rng.integers(0, P, n, dtype=np.uint64)
                         .astype(np.uint32)), dev)
         t_x, hx = bench(lambda v, t: ntt_ops.apply_ntt(v, t, n),
-                        x0, ntt_ops.ntt_tables(n, om), ln)
+                        x0, ntt_ops.ntt_tables(n, om))
         t_m, hm = bench(ntt_mxu.apply_mxu_ntt, x0,
-                        ntt_mxu.mxu_ntt_tables(n, om), ln)
+                        ntt_mxu.mxu_ntt_tables(n, om))
         assert np.array_equal(hx, hm), f"mismatch at 2^{ln}"
         gx = (n // 2 * ln) / t_x / 1e9
         gm = (n // 2 * ln) / t_m / 1e9

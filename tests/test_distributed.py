@@ -148,6 +148,84 @@ def test_sharded_prove_step_matches_single_chip():
     )
 
 
+def test_sharded_prove_step_fri_salted_and_replicated_tail():
+    """Round-2 coverage: (a) intermediate FRI layers commit SALTED in the
+    fused sharded step (protocol-exact, was unsalted in round 1); (b) a
+    final layer smaller than the mesh (D does not divide final_layer_size)
+    gathers the tiny tail once and folds replicated. Every FRI root and the
+    final layer must match a single-device recomputation bit-for-bit."""
+    from toyni_tpu.config import DEFAULT_CONFIG
+    from toyni_tpu.field import babybear as bb
+    from toyni_tpu.ops import sha256 as sha
+    from toyni_tpu.parallel.prover_dist import make_sharded_prove_step
+    from toyni_tpu.pipeline import make_commit_core, _fold_traced
+    from toyni_tpu.prover import _xs_inv0_dev
+
+    n, cfg = 32, DEFAULT_CONFIG
+    N = n * cfg.blowup
+    final = cfg.final_layer_size(n)
+    assert final % D != 0, "test shape must exercise the replicated tail"
+    num_folds = (N // final).bit_length() - 1
+
+    mesh, fn, make_args = make_sharded_prove_step(n, D)
+    args = make_args(seed=11)
+    out = fn(*args)
+
+    # ── single-device reference pipeline with the same inputs ──────────────
+    core, _ = make_commit_core(n)
+    trace_col, r_mask = args[0], args[1]
+    z, ood, betas = args[2], args[3], args[4]
+    t_salts = jnp.asarray(from_cyclic_np(np.asarray(args[5])))
+    q_salts = jnp.asarray(from_cyclic_np(np.asarray(args[6])))
+    d_salts = jnp.asarray(from_cyclic_np(np.asarray(args[7])))
+    fri_salts = [
+        jnp.asarray(from_cyclic_np(np.asarray(s)))
+        if (N >> (k + 1)) % D == 0 else jnp.asarray(np.asarray(s))
+        for k, s in enumerate(args[8])
+    ]
+    single = core(trace_col, r_mask, t_salts, q_salts)
+
+    B = cfg.blowup
+    lde, q_evals = single["trace_lde"], single["q_evals"]
+    x = Domain.new(N).get_coset(cfg.coset_shift).elements()
+    num = bb.sub(q_evals, ood[3])
+    num = bb.add(num, bb.sub(jnp.roll(lde, -2 * B), ood[2]))
+    num = bb.add(num, bb.sub(jnp.roll(lde, -B), ood[1]))
+    num = bb.add(num, bb.sub(lde, ood[0]))
+    d_evals = bb.mul(num, bb.inv(bb.sub(x, z)))
+
+    def root_of(values, salts):
+        digests = (
+            sha.hash_salted_leaves(values, salts)
+            if salts is not None else sha.hash_unsalted_leaves(values)
+        )
+        cur = digests
+        while cur.shape[0] > 1:
+            cur = sha.hash_nodes(cur[0::2], cur[1::2])
+        return np.asarray(cur[0])
+
+    shifted = Domain.new(N).get_coset(cfg.coset_shift)
+    expected_roots = [root_of(d_evals, d_salts)]
+    current = d_evals
+    xs = _xs_inv0_dev(N, cfg.coset_shift, shifted.omega)
+    for k in range(num_folds):
+        half = current.shape[0] // 2
+        current = _fold_traced(current, xs[:half], betas[k])
+        xs = bb.mont_mul(xs[:half], xs[:half])
+        salts_k = fri_salts[k] if k + 1 < num_folds else None
+        expected_roots.append(root_of(current, salts_k))
+
+    got_roots = np.asarray(out["fri_roots"])
+    assert got_roots.shape == (num_folds + 1, 8)
+    for i, exp in enumerate(expected_roots):
+        np.testing.assert_array_equal(got_roots[i], exp, err_msg=f"root {i}")
+    np.testing.assert_array_equal(
+        np.asarray(out["final_layer"], np.uint64),
+        np.asarray(current, np.uint64),
+    )
+    assert len(np.asarray(out["final_layer"])) == final
+
+
 # ── interactive distributed prover (transcript + query phase on mesh) ───────
 
 def test_interactive_distributed_prover_matches_single():

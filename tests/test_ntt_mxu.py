@@ -2,7 +2,8 @@
 
 Differential oracle: must match ops.ntt.ntt (itself pinned against the
 reference algorithm) bit-for-bit at every size, including multi-level
-four-step recursions (2^12 = 256*16, 2^16 = 256*256)."""
+four-step recursions (balanced factorizations: 2^12 = 64*64,
+2^16 = 256*256, 2^17 = 64*64*32)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -44,8 +45,8 @@ def test_mxu_transposed_chain_matches():
     """The fully-fused chain (in-kernel transposes, expanded twiddles, one
     final digit-reversal) must equal the recursion bit-for-bit."""
     rng = np.random.default_rng(4)
-    # incl. 3-level chains with non-uniform leaf sizes (2^17 = 256*256*2,
-    # 2^18 = 256*256*4) — the fused digit-reversal's hardest index algebra
+    # incl. 3-level balanced chains (2^17 = 64*64*32 — non-uniform sizes,
+    # 2^18 = 64*64*64) — the fused digit-reversal's hardest index algebra
     for log_n in (8, 12, 16, 17, 18):
         n = 1 << log_n
         om = get_root_of_unity(log_n)
@@ -75,3 +76,45 @@ def test_mxu_roundtrip():
     y = mxu_ntt(jnp.asarray(x), om)
     back = np.asarray(mxu_intt(y, om), np.uint64)
     assert np.array_equal(back, x.astype(np.uint64))
+
+
+def test_mxu_batched_matches_per_vector():
+    """apply_mxu_ntt_batched (batch as extra matmul lanes) must equal the
+    per-vector recursion bit-for-bit — this is the path batch.ntt_batched
+    dispatches to when the MXU tables are active."""
+    from toyni_tpu.ops.ntt_mxu import apply_mxu_ntt_batched, mxu_ntt_tables
+
+    rng = np.random.default_rng(7)
+    n, B = 1 << 12, 3
+    om = get_root_of_unity(12)
+    x = rng.integers(0, P, (B, n), dtype=np.uint64).astype(np.uint32)
+    tabs = mxu_ntt_tables(n, om)
+    got = np.asarray(apply_mxu_ntt_batched(jnp.asarray(x), tabs), np.uint64)
+    for b in range(B):
+        want = np.asarray(mxu_ntt(jnp.asarray(x[b]), om), np.uint64)
+        assert np.array_equal(got[b], want), f"batched mismatch row {b}"
+
+
+def test_flag_on_routes_through_domain_fft(monkeypatch):
+    """Regression (round-1 advisor finding): with TOYNI_MXU_NTT=1 the
+    generic ntt()/intt() entry points — and therefore domain.fft/ifft and
+    everything built on them — must dispatch MXU tables correctly instead
+    of misparsing them as four-step tables."""
+    import toyni_tpu.ops.ntt as ntt_ops
+    from toyni_tpu.domain import Domain
+
+    monkeypatch.setattr(ntt_ops, "_MXU_NTT", 1)
+    try:
+        rng = np.random.default_rng(9)
+        n = 1 << 12
+        dom = Domain.new(n).get_coset(7)
+        coeffs = rng.integers(0, P, n, dtype=np.uint64).astype(np.uint32)
+        evals = dom.fft(jnp.asarray(coeffs))
+        back = np.asarray(dom.ifft(evals), np.uint64)
+        assert np.array_equal(back, coeffs.astype(np.uint64))
+        # cross-check vs the flag-off path
+        monkeypatch.setattr(ntt_ops, "_MXU_NTT", 0)
+        want = np.asarray(dom.fft(jnp.asarray(coeffs)), np.uint64)
+        assert np.array_equal(np.asarray(evals, np.uint64), want)
+    finally:
+        monkeypatch.setattr(ntt_ops, "_MXU_NTT", None)

@@ -37,10 +37,7 @@ from .field.babybear import P, MONT_R
 from .merkle import openings_from_paths
 from .ops import sha256 as sha
 from .ops.ntt import (
-    _FOUR_STEP_MIN,
-    _pallas_ntt_enabled,
-    ntt_axis0,
-    ntt_stages,
+    ntt_batched,
     ntt_tables,
 )
 from .proof import MerkleOpening, QueryProof, StarkProof
@@ -54,37 +51,8 @@ _U32 = jnp.uint32
 
 # ── batched transforms ──────────────────────────────────────────────────────
 
-def ntt_batched(values: jnp.ndarray, tabs, size: int) -> jnp.ndarray:
-    """(B, n) batched NTT: four-step with B*sqrt(n)-wide lanes for large n
-    (each of the two `ntt_axis0` passes treats the batch axis as extra
-    lanes), flat per-stage kernel for small n."""
-    if size < _FOUR_STEP_MIN:
-        return ntt_stages(values, tabs)
-    colt, rowt, W = tabs[0], tabs[1], tabs[2]
-    n1, n2 = W.shape
-    Bsz = values.shape[0]
-    x3 = values.reshape(Bsz, n1, n2)
-    xt = jnp.transpose(x3, (1, 0, 2)).reshape(n1, Bsz * n2)
-    if len(tabs) == 5 and _pallas_ntt_enabled():
-        # Fused-stage Mosaic kernel on the batch-widened lanes (same kernels
-        # as the single-proof path; the W multiply stays an XLA elementwise
-        # because W broadcasts over the batch axis).
-        from .ops.ntt_pallas import _ntt_axis0_roll_nobitrev
-        from .ops.ntt import _bitrev
-
-        tw_col, tw_row = tabs[3], tabs[4]
-        xb = jnp.take(xt, jnp.asarray(_bitrev(n1)), axis=0)
-        a = _ntt_axis0_roll_nobitrev(xb, tw_col).reshape(n1, Bsz, n2)
-        a = bb.mont_mul(a, W[:, None, :])
-        at = jnp.transpose(a, (2, 1, 0)).reshape(n2, Bsz * n1)
-        ab = jnp.take(at, jnp.asarray(_bitrev(n2)), axis=0)
-        c = _ntt_axis0_roll_nobitrev(ab, tw_row).reshape(n2, Bsz, n1)
-        return jnp.transpose(c, (1, 0, 2)).reshape(Bsz, n1 * n2)
-    a = ntt_axis0(xt, colt).reshape(n1, Bsz, n2)
-    a = bb.mont_mul(a, W[:, None, :])
-    at = jnp.transpose(a, (2, 1, 0)).reshape(n2, Bsz * n1)
-    c = ntt_axis0(at, rowt).reshape(n2, Bsz, n1)
-    return jnp.transpose(c, (1, 0, 2)).reshape(Bsz, n1 * n2)
+# `ntt_batched` lives in ops.ntt since round 2 (imported above) so the
+# generic ntt() entry point and the batch prover share one batched dispatch.
 
 
 def powers_traced_batched(base: jnp.ndarray, n: int, *, mont: bool = False):

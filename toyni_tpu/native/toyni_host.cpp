@@ -12,8 +12,8 @@
 //     SHA-256 with the protocol's leaf/node domain tags (src/merkle.rs:
 //     105-123) — powers the production host verifier.
 //
-// Exposed with a C ABI for ctypes (no pybind11 dependency); built by
-// native/build.py which degrades gracefully when no toolchain exists
+// Exposed with a C ABI for ctypes (no pybind11 dependency); built on import
+// by native/__init__.py which degrades gracefully when no toolchain exists
 // (mirroring build.rs:28-37).
 
 #include <cstdint>

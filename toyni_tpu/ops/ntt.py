@@ -229,19 +229,44 @@ _FOUR_STEP_MIN = 1 << 12
 _MXU_NTT = None
 
 
-def _mxu_ntt_variant() -> int:
-    """Opt-in MXU-path NTT (ops/ntt_mxu.py): DFT levels as exact bf16 limb
-    matmuls. TOYNI_MXU_NTT=1 -> the four-step recursion (XLA transposes
-    between levels); =2 -> the fully-fused chain (in-kernel transposes,
-    fused digit reversal). EXPERIMENTAL — flips the four-step path of
-    `ntt_tables`/`apply_ntt` so bench.py A/Bs it unchanged."""
+def _mxu_ntt_env() -> int:
+    """TOYNI_MXU_NTT env override: 0 = force off (XLA four-step), 1 = the
+    MXU four-step recursion, 2 = the fully-fused transposed-output chain
+    (interpret/2-level-only on hardware — see ntt_mxu.apply_mxu_ntt_t).
+    Unset -> -1 (auto)."""
     global _MXU_NTT
     if _MXU_NTT is None:
         import os
 
         v = os.environ.get("TOYNI_MXU_NTT", "")
-        _MXU_NTT = int(v) if v in ("1", "2") else 0
+        _MXU_NTT = int(v) if v in ("0", "1", "2") else -1
     return _MXU_NTT
+
+
+def _target_is_tpu() -> bool:
+    """Whether device code dispatched now lands on a TPU — checked per call
+    because tests and bench pin `jax_default_device` per leg."""
+    try:
+        d = jax.config.jax_default_device
+        if d is not None:
+            return d.platform == "tpu"
+    except Exception:
+        pass
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _mxu_ntt_variant() -> int:
+    """Active MXU-NTT variant for this call: the env override if set, else
+    v1 on TPU targets (the measured-fastest path — 5.14 ms vs 6.37 XLA at
+    2^24, PERF.md session 4) and off elsewhere (on CPU the Pallas kernels
+    would run in interpret mode, orders of magnitude slower than XLA)."""
+    v = _mxu_ntt_env()
+    if v >= 0:
+        return v
+    return 1 if _target_is_tpu() else 0
 
 
 def _mxu_ntt_enabled() -> bool:
@@ -358,6 +383,50 @@ def apply_ntt(values: jnp.ndarray, tabs, size: int) -> jnp.ndarray:
     return ntt_stages(values, tabs)
 
 
+def ntt_batched(values: jnp.ndarray, tabs, size: int) -> jnp.ndarray:
+    """(B, n) batched NTT with explicitly-supplied tables: four-step with
+    B*sqrt(n)-wide lanes for large n (each of the two `ntt_axis0` passes
+    treats the batch axis as extra lanes), MXU levels with the batch as
+    extra matmul lanes when MXU tables are active, flat per-stage kernel
+    for small n."""
+    if size < _FOUR_STEP_MIN:
+        return ntt_stages(values, tabs)
+    if _is_mxu_tabs(tabs):
+        if _mxu_ntt_variant() == 2:
+            # v2's expanded-W tables are shaped for the single-vector fused
+            # chain only; the batched path needs the v1 recursion's tables.
+            raise NotImplementedError(
+                "TOYNI_MXU_NTT=2 has no batched path; use TOYNI_MXU_NTT=1"
+            )
+        from .ntt_mxu import apply_mxu_ntt_batched
+
+        return apply_mxu_ntt_batched(values, tabs)
+    colt, rowt, W = tabs[0], tabs[1], tabs[2]
+    n1, n2 = W.shape
+    Bsz = values.shape[0]
+    x3 = values.reshape(Bsz, n1, n2)
+    xt = jnp.transpose(x3, (1, 0, 2)).reshape(n1, Bsz * n2)
+    if len(tabs) == 5 and _pallas_ntt_enabled():
+        # Fused-stage Mosaic kernel on the batch-widened lanes (same kernels
+        # as the single-proof path; the W multiply stays an XLA elementwise
+        # because W broadcasts over the batch axis).
+        from .ntt_pallas import _ntt_axis0_roll_nobitrev
+
+        tw_col, tw_row = tabs[3], tabs[4]
+        xb = jnp.take(xt, jnp.asarray(_bitrev(n1)), axis=0)
+        a = _ntt_axis0_roll_nobitrev(xb, tw_col).reshape(n1, Bsz, n2)
+        a = bb.mont_mul(a, W[:, None, :])
+        at = jnp.transpose(a, (2, 1, 0)).reshape(n2, Bsz * n1)
+        ab = jnp.take(at, jnp.asarray(_bitrev(n2)), axis=0)
+        c = _ntt_axis0_roll_nobitrev(ab, tw_row).reshape(n2, Bsz, n1)
+        return jnp.transpose(c, (1, 0, 2)).reshape(Bsz, n1 * n2)
+    a = ntt_axis0(xt, colt).reshape(n1, Bsz, n2)
+    a = bb.mont_mul(a, W[:, None, :])
+    at = jnp.transpose(a, (2, 1, 0)).reshape(n2, Bsz * n1)
+    c = ntt_axis0(at, rowt).reshape(n2, Bsz, n1)
+    return jnp.transpose(c, (1, 0, 2)).reshape(Bsz, n1 * n2)
+
+
 def ntt(values: jnp.ndarray, omega: int) -> jnp.ndarray:
     """Forward NTT: out[k] = sum_j values[j] * omega^(jk)  (src/ntt.rs:24-53).
 
@@ -365,8 +434,18 @@ def ntt(values: jnp.ndarray, omega: int) -> jnp.ndarray:
     transpose); small or batched inputs use the flat per-stage kernel.
     """
     n = values.shape[-1]
-    if values.ndim == 1 and n >= _FOUR_STEP_MIN:
-        return four_step_apply(values, ntt_tables(n, omega))
+    if n >= _FOUR_STEP_MIN:
+        # apply_ntt (not four_step_apply) so the structural dispatch handles
+        # MXU-path tables when that mode is active — ntt_tables() returns a
+        # different pytree there and four_step_apply would misparse it.
+        # Batched inputs (e.g. the 4 lanes of an Ext transform) flatten the
+        # leading axes into the batched four-step's extra lanes.
+        tabs = ntt_tables(n, omega)
+        if values.ndim == 1:
+            return apply_ntt(values, tabs, n)
+        lead = values.shape[:-1]
+        flat = values.reshape(-1, n)
+        return ntt_batched(flat, tabs, n).reshape(*lead, n)
     return ntt_stages(values, _twiddle_tables(n, omega))
 
 

@@ -27,8 +27,12 @@ Reference analog: the CUDA kernel's per-stage butterflies
 (cuda/ntt_kernel.cu:119-137) — re-mapped from SIMT butterflies to systolic
 matmuls, the TPU's native compute shape.
 
-Opt-in for the moment (TOYNI_MXU_NTT=1) until it beats the VPU four-step
-end-to-end on hardware.
+This is the DEFAULT accelerated path on TPU targets since round 2 — v1 (the
+four-step recursion over these kernels) measured 5.14 ms vs 6.37 ms for the
+XLA four-step at 2^24 (PERF.md). Override with TOYNI_MXU_NTT=0 (force the
+XLA four-step), =1 (force v1), =2 (the fully-fused transposed-output chain;
+interpret/2-level-only on hardware). CPU targets always use XLA — these
+kernels would run in Pallas interpret mode there.
 """
 
 from __future__ import annotations
@@ -460,6 +464,14 @@ def apply_mxu_ntt(values: jnp.ndarray, tabs) -> jnp.ndarray:
     n = values.shape[0]
     interpret = _interpret()
     return _apply_rec(values.reshape(n, 1), tabs, 0, interpret).reshape(n)
+
+
+def apply_mxu_ntt_batched(values: jnp.ndarray, tabs) -> jnp.ndarray:
+    """(B, n) batched forward NTT via the MXU levels. The batch rides as
+    extra lanes of every level's matmul (the recursion transforms along
+    axis 0 and treats columns as batch), so one kernel pass per level covers
+    the whole batch — no vmap over pallas_call."""
+    return _apply_rec(values.T, tabs, 0, _interpret()).T
 
 
 def mxu_ntt(values: jnp.ndarray, omega: int) -> jnp.ndarray:

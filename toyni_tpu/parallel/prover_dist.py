@@ -10,8 +10,11 @@ chips:
     -> cyclic-layout constraint / quotient       [no communication]
     -> distributed coset IFFT of the quotient    [2 all-to-alls]
     -> DEEP numerators + batched inversion       [no communication]
-    -> every FRI fold                            [no communication: cyclic
-                                                  pairs are shard-local]
+    -> FRI folds                                 [no communication while
+                                                  D | half: cyclic pairs are
+                                                  shard-local; tiny (< D)
+                                                  tail layers gather once and
+                                                  fold replicated]
     -> Merkle leaf hashing (local) + one all-to-all per committed layer to
        block layout + local subtrees + all-gather of D sub-roots + replicated
        top tree -> roots
@@ -114,11 +117,12 @@ def make_sharded_prove_step(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
     m = cfg.mask_degree
     L = n + m
     final_size = cfg.final_layer_size(n)
-    assert final_size % D == 0, (
-        "need D | final_layer_size so every FRI fold stays shard-local"
-    )
     num_folds = (N // final_size).bit_length() - 1
-    # folds stay local while D | half; stop sharded folding there
+    # A fold of global size s -> s/2 stays shard-local (cyclic pairs on the
+    # same shard) iff D | s/2. Sizes are powers of two, so folds are local
+    # down to size D; any smaller layers are tiny (< D elements) — they are
+    # all-gathered once and folded/committed replicated, so ANY final layer
+    # size works on ANY mesh width (no D | final_layer_size precondition).
     B = cfg.blowup
 
     domain = Domain.new(n)
@@ -155,6 +159,10 @@ def make_sharded_prove_step(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
         trace_salts,    # (1, N/D, 16) cyclic row
         quot_salts,
         deep_salts,
+        fri_salts,      # tuple: salts for intermediate FRI layers 1..f-1
+                        #   (cyclic (1, s/D, 16) while s >= D, else (s, 16)
+                        #   replicated) — matching the protocol's salted
+                        #   hiding commits (fibonacci.rs:234-238)
         x_loc,          # (1, N/D) cyclic
         zh_loc,
         xs_inv_loc,
@@ -201,20 +209,48 @@ def make_sharded_prove_step(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
         num = bb.add(num, bb.sub(t_rolls[0], ood[0]))
         d_evals = bb.mul(num, bb.inv(bb.sub(x_loc, z)))
 
-        # ── FRI folds (shard-local) + roots ───────────────────────────────
+        # ── FRI folds + roots ─────────────────────────────────────────────
+        # Shard-local on the cyclic layout while D | half; once the layer
+        # shrinks below D elements, gather it (and xs) to natural order once
+        # and continue replicated — the tail layers are tiny. Intermediate
+        # layers commit SALTED (the protocol's hiding commits); only the
+        # final layer is unsalted (fibonacci.rs:234-238, 357-363).
         roots = [_commit_local(d_evals, deep_salts, D)]
         current = d_evals
         xs = xs_inv
+        replicated = False
         for k in range(num_folds):
-            half_loc = current.shape[0] // 2
-            current = _fold_traced(current, xs[:half_loc], betas[k])
-            xs = bb.mont_mul(xs[:half_loc], xs[:half_loc])
-            # intermediate layers committed unsalted in this fused step (the
-            # interactive prover salts them; root mechanics are identical)
-            roots.append(_commit_local(current, None, D))
+            if not replicated and (N >> (k + 1)) % D != 0:
+                g_cur = jax.lax.all_gather(current, AXIS, axis=0)
+                current = jnp.swapaxes(g_cur, 0, 1).reshape(-1)
+                g_xs = jax.lax.all_gather(xs, AXIS, axis=0)
+                xs = jnp.swapaxes(g_xs, 0, 1).reshape(-1)
+                replicated = True
+            half = current.shape[0] // 2
+            current = _fold_traced(current, xs[:half], betas[k])
+            xs = bb.mont_mul(xs[:half], xs[:half])
+            salts_k = fri_salts[k] if k + 1 < num_folds else None
+            if replicated:
+                digests = (
+                    sha.hash_salted_leaves(current, salts_k)
+                    if salts_k is not None
+                    else sha.hash_unsalted_leaves(current)
+                )
+                roots.append(_local_subtree(digests))
+            else:
+                roots.append(
+                    _commit_local(
+                        current,
+                        salts_k[0] if salts_k is not None else None,
+                        D,
+                    )
+                )
 
-        final_gather = jax.lax.all_gather(current, AXIS, axis=0)  # (D, final/D)
-        final_layer = jnp.swapaxes(final_gather, 0, 1).reshape(-1)
+        if replicated:
+            final_layer = current
+        else:
+            final_gather = jax.lax.all_gather(current, AXIS, axis=0)
+            final_layer = jnp.swapaxes(final_gather, 0, 1).reshape(-1)
 
         return dict(
             trace_root=trace_root,
@@ -225,11 +261,19 @@ def make_sharded_prove_step(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
             final_layer=final_layer,
         )
 
+    # per-intermediate-layer salt specs: cyclic while the layer is sharded
+    # (D | size), replicated for the tiny gathered tail
+    fri_salt_specs = tuple(
+        cyc if (N >> (k + 1)) % D == 0 else rep
+        for k in range(num_folds - 1)
+    )
+
     shard = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep, cyc, cyc, cyc, cyc, cyc, cyc,
-                  blk, blk, Pspec(None, AXIS), Pspec(None, AXIS)),
+        in_specs=(rep, rep, rep, rep, rep, cyc, cyc, cyc, fri_salt_specs,
+                  cyc, cyc, cyc, blk, blk,
+                  Pspec(None, AXIS), Pspec(None, AXIS)),
         out_specs=dict(
             trace_root=rep,
             quot_root=rep,
@@ -258,6 +302,12 @@ def make_sharded_prove_step(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
             jnp.asarray(to_cyclic_np(u8(N, 16), D)),
             jnp.asarray(to_cyclic_np(u8(N, 16), D)),
             jnp.asarray(to_cyclic_np(u8(N, 16), D)),
+            tuple(
+                jnp.asarray(to_cyclic_np(u8(N >> (k + 1), 16), D))
+                if (N >> (k + 1)) % D == 0
+                else jnp.asarray(u8(N >> (k + 1), 16))
+                for k in range(num_folds - 1)
+            ),
             jnp.asarray(x_cyc),
             jnp.asarray(zh_inv_tile),
             jnp.asarray(xs_inv0),
