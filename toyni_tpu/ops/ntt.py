@@ -258,15 +258,28 @@ def _target_is_tpu() -> bool:
         return False
 
 
+# Auto-mode size floor for the MXU path: the measured win region on v5e is
+# >= 2^21 (1.24x at 2^21, 1.20x at 2^24, 1.56x at 2^25); below it the two
+# paths are latency-floor-tied (2^13-2^19 within 4%) with one measured dip
+# at 2^20 (0.71x), so XLA keeps the small sizes. PERF.md "MXU sweep".
+_MXU_MIN = 1 << 21
+
+
 def _mxu_ntt_variant() -> int:
     """Active MXU-NTT variant for this call: the env override if set, else
-    v1 on TPU targets (the measured-fastest path — 5.14 ms vs 6.37 XLA at
-    2^24, PERF.md session 4) and off elsewhere (on CPU the Pallas kernels
-    would run in interpret mode, orders of magnitude slower than XLA)."""
+    v1 on TPU targets (the measured-fastest path — 5.1 ms vs 6.3 XLA at
+    2^24, PERF.md) and off elsewhere (on CPU the Pallas kernels would run
+    in interpret mode, orders of magnitude slower than XLA)."""
     v = _mxu_ntt_env()
     if v >= 0:
         return v
     return 1 if _target_is_tpu() else 0
+
+
+def _mxu_auto() -> bool:
+    """True when the MXU path is active by auto-detection (no env force) —
+    auto mode additionally applies the _MXU_MIN size floor."""
+    return _mxu_ntt_env() < 0
 
 
 def _mxu_ntt_enabled() -> bool:
@@ -346,7 +359,7 @@ def ntt_tables(size: int, omega: int):
     to hundreds of MB of constants into the compiled program (and into the
     remote-compile request)."""
     if size >= _FOUR_STEP_MIN:
-        if _mxu_ntt_enabled():
+        if _mxu_ntt_enabled() and not (_mxu_auto() and size < _MXU_MIN):
             from .ntt_mxu import mxu_ntt_tables, mxu_ntt_tables_t
 
             if _mxu_ntt_variant() == 2:

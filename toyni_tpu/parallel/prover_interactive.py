@@ -8,17 +8,28 @@ shard_map dispatch over the mesh, tree levels are RETAINED on device
 (block-sharded global arrays), and the query phase gathers openings across
 shards with plain jit (XLA routes the cross-shard gathers).
 
-Equivalence contract (tested on the virtual CPU mesh): for the same trace
-and seed, `DistributedStarkProver(trace, D, seed=s).generate_proof()` is
-BYTE-IDENTICAL to the single-device `StarkProver(trace, seed=s)` proof —
+Covers EVERY protocol mode since round 2 (round 1 was Fibonacci/base-field
+only): extension-field challenges (`StarkConfig.ext_challenges` — z/betas
+from F_p^4, ext DEEP/FRI codewords and leaves), generic multi-column /
+multi-constraint AIRs (row-bundle trace commitments, Fiat-Shamir alpha
+composition with the two-dispatch commit split, ns shifted openings), and
+their combination — mirroring the single-device prover's four paths
+(prover.py `_phase_fns` / `_generate_proof_multi`).
+
+Equivalence contract (tested on the virtual CPU mesh, every mode): for the
+same trace and seed, `DistributedStarkProver(trace, D, air, cfg, seed=s)`
+produces a proof BYTE-IDENTICAL to `StarkProver(trace, air, cfg, seed=s)` —
 same salts (threefry is backend-deterministic), same transcript, same tree
 structure, same openings. Distribution is an implementation detail of the
 prover, invisible in the proof.
 
 Layout invariants (see parallel/mesh.py): codewords live cyclic so trace
-rolls (D | blowup) and every FRI fold (D | final_layer_size) are shard-local;
-coefficient vectors live in blocks; tree leaves are hashed cyclic then
-all-to-all'd to block layout so sub-trees are shard-local.
+rolls (D | blowup) and FRI folds are shard-local while D | half; coefficient
+vectors live in blocks; tree leaves are hashed cyclic then all-to-all'd to
+block layout so sub-trees are shard-local. FRI layers smaller than the mesh
+(D does not divide the size) convert once to replicated natural order — at
+that point a layer has < 2D elements, so the tail is noise — removing the
+round-1 `D | final_layer_size` precondition.
 """
 
 from __future__ import annotations
@@ -34,19 +45,23 @@ from ..air import FibonacciAir
 from ..config import DEFAULT_CONFIG, StarkConfig
 from ..domain import Domain
 from ..field import babybear as bb
+from ..field import ext as extf
 from ..field.babybear import P, MONT_R
 from ..merkle import MerkleProof, openings_from_paths
 from ..ops import sha256 as sha
+from ..ops.fri import fri_fold_ext
 from ..ops.ntt import intt, np_powers
 from ..pipeline import _fold_traced
 from ..proof import MerkleOpening, QueryProof, StarkProof
 from ..trace import ExecutionTrace
-from ..transcript import Transcript, derive_z
+from ..transcript import Transcript, derive_z, derive_z_ext
 from . import ntt_dist
 from .mesh import AXIS, make_mesh, to_cyclic_np
 from .prover_dist import _cyclic_to_block_local, _mont
 
 _U32 = jnp.uint32
+
+_DEFAULT_AIR = FibonacciAir()
 
 
 def _pow_traced(base, e: int):
@@ -74,23 +89,44 @@ def _local_levels(leaves: jnp.ndarray) -> list:
     return levels
 
 
-@functools.lru_cache(maxsize=4)
-def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
-    """Jitted shard_map phases + host tables for (trace length, mesh size)."""
+def _leaf_digests(values_loc, salts_loc, mode: str):
+    """Per-leaf digests for a local slice. mode: 'base' (values (m,)),
+    'ext' ((m, 4) ext codeword lanes), 'multi' ((k, m) row bundles)."""
+    if mode == "ext":
+        if salts_loc is None:
+            return sha.hash_unsalted_leaves_ext(values_loc)
+        return sha.hash_salted_leaves_ext(values_loc, salts_loc)
+    if mode == "multi":
+        return sha.hash_salted_leaves_multi(values_loc, salts_loc)
+    if salts_loc is None:
+        return sha.hash_unsalted_leaves(values_loc)
+    return sha.hash_salted_leaves(values_loc, salts_loc)
+
+
+@functools.lru_cache(maxsize=8)
+def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
+            air=_DEFAULT_AIR):
+    """Jitted shard_map phases + host tables for (trace length, mesh size,
+    config, AIR). `air` must be a long-lived (stateless) instance — the
+    cache is keyed on it."""
     N = n * cfg.blowup
     assert N % (D * D) == 0, "need D^2 | lde_size for the four-step layout"
     assert cfg.blowup % D == 0, "need D | blowup so trace rolls stay local"
     m_deg = cfg.mask_degree
     L = n + m_deg
     final_size = cfg.final_layer_size(n)
-    assert final_size % D == 0, "need D | final_layer_size"
     B = cfg.blowup
     mloc = N // D
+
+    k = getattr(air, "num_columns", 1)
+    nc = getattr(air, "num_constraints", 1)
+    ns = air.num_shifts
+    ext = cfg.ext_challenges
+    multi = k > 1 or nc > 1 or ns != 3
 
     domain = Domain.new(n)
     shifted = Domain.new(N).get_coset(cfg.coset_shift)
     g = domain.group_gen()
-    air = FibonacciAir()
 
     mesh = make_mesh(D)
     plan = ntt_dist.plan_tables(N, D, shifted.omega)
@@ -112,15 +148,12 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
     cyc = Pspec(AXIS, None)
     blk = Pspec(AXIS)
     rep = Pspec()
+    rep_sh = NamedSharding(mesh, rep)
 
-    def _commit_with_levels(values_loc, salts_loc):
+    def _commit_with_levels(values_loc, salts_loc, mode="base"):
         """Cyclic values -> (lo_levels..., top_levels...) block/replicated."""
-        digests = (
-            sha.hash_salted_leaves(values_loc, salts_loc)
-            if salts_loc is not None
-            else sha.hash_unsalted_leaves(values_loc)
-        )
-        m = values_loc.shape[0]
+        digests = _leaf_digests(values_loc, salts_loc, mode)
+        m = digests.shape[0]
         if m % D == 0 and m >= D:
             block = _cyclic_to_block_local(digests, D)
             lo = _local_levels(block)
@@ -132,99 +165,282 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
         natural = jnp.swapaxes(gathered, 0, 1).reshape(D * m, 8)
         return [], _local_levels(natural)
 
-    # ── phase 1: trace + quotient commit ──────────────────────────────────
-    def commit_local(trace_col, r_mask, trace_salts, quot_salts,
-                     x_loc, zh_loc, shiftf_loc, W_loc, W_inv_loc, shiftb_loc):
-        x_loc, zh_loc = x_loc[0], zh_loc[0]
-        trace_salts, quot_salts = trace_salts[0], quot_salts[0]
+    n_lo = (mloc).bit_length()  # levels in a local subtree incl. leaves
+    lo_specs = [blk] * n_lo
+    top_specs = [rep] * (D.bit_length() - 1)
 
+    # ── interpolate + mask + LDE for one column (shared by both paths) ─────
+    def _column_lde(trace_col, r_mask, shiftf_loc, W_loc):
+        """Replicated (n,) column -> (that block slice, cyclic LDE)."""
         t_coeffs = intt(trace_col, domain.omega)
         t_pad = jnp.pad(t_coeffs, (0, L - n))
         r_low = jnp.pad(r_mask, (0, L - m_deg))
         r_shift = jnp.pad(r_mask, (n, L - m_deg - n))
         that = jnp.pad(bb.add(t_pad, bb.sub(r_shift, r_low)), (0, N - L))
-
         d = jax.lax.axis_index(AXIS)
         that_loc = jax.lax.dynamic_slice_in_dim(that, d * mloc, mloc)
+        lde = ntt_dist.coset_fft_local(that_loc, shiftf_loc, W_loc, plan)
+        return that_loc, lde
 
-        trace_lde = ntt_dist.coset_fft_local(that_loc, shiftf_loc, W_loc, plan)
+    fns = {}
 
-        t_rolls = [jnp.roll(trace_lde, -k * (B // D)) for k in range(air.num_shifts)]
-        c_evals = air.constraint_lde(t_rolls, x_loc, g, n)
-        q_evals = bb.mont_mul(c_evals, zh_loc)
-        q_coeffs_loc = ntt_dist.coset_ifft_local(
-            q_evals, shiftb_loc, W_inv_loc, plan
-        )
+    if not multi:
+        # ── phase 1 (reference shape): fused trace + quotient commit ──────
+        def commit_local(trace_col, r_mask, trace_salts, quot_salts,
+                         x_loc, zh_loc, shiftf_loc, W_loc, W_inv_loc,
+                         shiftb_loc):
+            x_loc, zh_loc = x_loc[0], zh_loc[0]
+            trace_salts, quot_salts = trace_salts[0], quot_salts[0]
+            that_loc, trace_lde = _column_lde(trace_col, r_mask,
+                                              shiftf_loc, W_loc)
+            t_rolls = [
+                jnp.roll(trace_lde, -s * (B // D)) for s in range(ns)
+            ]
+            c_evals = air.constraint_lde(t_rolls, x_loc, g, n)
+            q_evals = bb.mont_mul(c_evals, zh_loc)
+            q_coeffs_loc = ntt_dist.coset_ifft_local(
+                q_evals, shiftb_loc, W_inv_loc, plan
+            )
+            t_lo, t_top = _commit_with_levels(trace_lde, trace_salts)
+            q_lo, q_top = _commit_with_levels(q_evals, quot_salts)
+            return dict(
+                that_loc=that_loc,
+                trace_lde=trace_lde[None],
+                q_evals=q_evals[None],
+                q_coeffs_loc=q_coeffs_loc,
+                t_lo=t_lo, t_top=t_top, q_lo=q_lo, q_top=q_top,
+            )
 
-        t_lo, t_top = _commit_with_levels(trace_lde, trace_salts)
-        q_lo, q_top = _commit_with_levels(q_evals, quot_salts)
-        return dict(
-            that_loc=that_loc,
-            trace_lde=trace_lde[None],
-            q_evals=q_evals[None],
-            q_coeffs_loc=q_coeffs_loc,
-            t_lo=t_lo, t_top=t_top, q_lo=q_lo, q_top=q_top,
-        )
+        fns["commit"] = jax.jit(jax.shard_map(
+            commit_local, mesh=mesh,
+            in_specs=(rep, rep, cyc, cyc, cyc, cyc, blk,
+                      Pspec(None, AXIS), Pspec(None, AXIS), blk),
+            out_specs=dict(
+                that_loc=blk, trace_lde=cyc, q_evals=cyc, q_coeffs_loc=blk,
+                t_lo=lo_specs, t_top=top_specs, q_lo=lo_specs,
+                q_top=top_specs,
+            ),
+            check_vma=False,
+        ))
+    else:
+        # ── multi: two-dispatch commit (alphas are transcript outputs) ────
+        def commit_trace_local(trace_cols, r_masks, trace_salts,
+                               shiftf_loc, W_loc):
+            trace_salts = trace_salts[0]
+            thats, ldes = [], []
+            for c in range(k):
+                that_loc, lde = _column_lde(trace_cols[c], r_masks[c],
+                                            shiftf_loc, W_loc)
+                thats.append(that_loc)
+                ldes.append(lde)
+            that_k = jnp.stack(thats)                # (k, mloc) block
+            lde_k = jnp.stack(ldes)                  # (k, mloc) cyclic rows
+            t_lo, t_top = _commit_with_levels(lde_k, trace_salts, "multi")
+            return dict(
+                that_loc=that_k,
+                trace_lde=jnp.moveaxis(lde_k, 0, -1)[None],  # (1, mloc, k)
+                t_lo=t_lo, t_top=t_top,
+            )
 
-    n_lo = (mloc).bit_length()  # levels in a local subtree incl. leaves
-    lo_specs = [blk] * n_lo
-    top_specs = [rep] * (D.bit_length() - 1)
+        fns["commit_trace"] = jax.jit(jax.shard_map(
+            commit_trace_local, mesh=mesh,
+            in_specs=(rep, rep, cyc, blk, Pspec(None, AXIS)),
+            out_specs=dict(
+                that_loc=blk, trace_lde=cyc,
+                t_lo=lo_specs, t_top=top_specs,
+            ),
+            check_vma=False,
+        ))
 
-    commit = jax.jit(jax.shard_map(
-        commit_local, mesh=mesh,
-        in_specs=(rep, rep, cyc, cyc, cyc, cyc, blk,
-                  Pspec(None, AXIS), Pspec(None, AXIS), blk),
-        out_specs=dict(
-            that_loc=blk, trace_lde=cyc, q_evals=cyc, q_coeffs_loc=blk,
-            t_lo=lo_specs, t_top=top_specs, q_lo=lo_specs, q_top=top_specs,
-        ),
-        check_vma=False,
-    ))
+        def commit_quot_local(trace_lde, quot_salts, alphas,
+                              x_loc, zh_loc, W_inv_loc, shiftb_loc):
+            lde_k = jnp.moveaxis(trace_lde[0], -1, 0)    # (k, mloc)
+            quot_salts = quot_salts[0]
+            x_loc, zh_loc = x_loc[0], zh_loc[0]
+            t_views = [
+                jnp.roll(lde_k, -s * (B // D), axis=1) for s in range(ns)
+            ]
+            if k == 1:
+                t_views = [v[0] for v in t_views]
+            if nc > 1:
+                c_evals = air.constraint_lde(t_views, x_loc, g, n, alphas)
+            else:
+                c_evals = air.constraint_lde(t_views, x_loc, g, n)
+            q_evals = bb.mont_mul(c_evals, zh_loc)
+            q_coeffs_loc = ntt_dist.coset_ifft_local(
+                q_evals, shiftb_loc, W_inv_loc, plan
+            )
+            q_lo, q_top = _commit_with_levels(q_evals, quot_salts)
+            return dict(
+                q_evals=q_evals[None], q_coeffs_loc=q_coeffs_loc,
+                q_lo=q_lo, q_top=q_top,
+            )
 
-    # ── phase 2: OOD evaluation (local dots + gather of partials) ─────────
-    def ood_local(that_loc, q_coeffs_loc, z, gz, ggz):
+        fns["commit_quot"] = jax.jit(jax.shard_map(
+            commit_quot_local, mesh=mesh,
+            in_specs=(cyc, cyc, rep, cyc, cyc, Pspec(None, AXIS), blk),
+            out_specs=dict(
+                q_evals=cyc, q_coeffs_loc=blk,
+                q_lo=lo_specs, q_top=top_specs,
+            ),
+            check_vma=False,
+        ))
+
+    # ── OOD evaluation (local block dots + gather of partials) ─────────────
+    # Base-field: partial = (sum_t c_{d*mloc+t} pt^t) * pt^(d*mloc), summed
+    # over shards. Ext: same split with ext powers (coefficients stay base).
+    def _ood_partial(coeffs_loc, pt):
         d = jax.lax.axis_index(AXIS)
-        partials = []
-        for pt, coeffs in ((z, that_loc), (gz, that_loc), (ggz, that_loc),
-                           (z, q_coeffs_loc)):
-            pw = bb.powers_traced(pt, mloc, mont=True)
-            local = bb.sum_mod(bb.mont_mul(coeffs, pw))
-            factor = bb.powers_traced(_pow_traced(pt, mloc), D)[d]
-            partials.append(bb.mul(local, factor))
-        part = jnp.stack(partials)  # (4,)
-        allp = jax.lax.all_gather(part, AXIS, axis=0)  # (D, 4)
-        return bb.sum_mod(allp, axis=0)
+        pw = bb.powers_traced(pt, mloc, mont=True)
+        local = bb.sum_mod(bb.mont_mul(coeffs_loc, pw))
+        factor = bb.powers_traced(_pow_traced(pt, mloc), D)[d]
+        return bb.mul(local, factor)
 
-    ood = jax.jit(jax.shard_map(
-        ood_local, mesh=mesh,
-        in_specs=(blk, blk, rep, rep, rep),
-        out_specs=rep, check_vma=False,
-    ))
+    def _ood_partial_ext(coeffs_loc, z4):
+        d = jax.lax.axis_index(AXIS)
+        local = extf.eval_poly_base_coeffs(coeffs_loc, z4)       # (4,)
+        zM = extf.pow_const(z4[None, :], mloc)[0]                # z^mloc
+        factor = extf.powers_traced(zM, D)[d]                    # z^(d*mloc)
+        return extf.mul(local, factor)
 
-    # ── phase 3: DEEP quotient (fully local in cyclic layout) ─────────────
-    def deep_local(trace_lde, q_evals, oodv, z, x_loc):
-        trace_lde, q_evals = trace_lde[0], q_evals[0]
-        x_loc = x_loc[0]
+    if not multi:
+        if ext:
+            def ood_local(that_loc, q_coeffs_loc, z, gz, ggz):
+                part = jnp.stack([
+                    _ood_partial_ext(that_loc, z),
+                    _ood_partial_ext(that_loc, gz),
+                    _ood_partial_ext(that_loc, ggz),
+                    _ood_partial_ext(q_coeffs_loc, z),
+                ])  # (4, 4)
+                allp = jax.lax.all_gather(part, AXIS, axis=0)  # (D, 4, 4)
+                return bb.sum_mod(allp, axis=0)
+
+            ood_in = (blk, blk, rep, rep, rep)
+        else:
+            def ood_local(that_loc, q_coeffs_loc, z, gz, ggz):
+                part = jnp.stack([
+                    _ood_partial(that_loc, z),
+                    _ood_partial(that_loc, gz),
+                    _ood_partial(that_loc, ggz),
+                    _ood_partial(q_coeffs_loc, z),
+                ])  # (4,)
+                allp = jax.lax.all_gather(part, AXIS, axis=0)  # (D, 4)
+                return bb.sum_mod(allp, axis=0)
+
+            ood_in = (blk, blk, rep, rep, rep)
+        fns["ood"] = jax.jit(jax.shard_map(
+            ood_local, mesh=mesh, in_specs=ood_in, out_specs=rep,
+            check_vma=False,
+        ))
+    else:
+        # pts: (ns,) base points or (ns, 4) ext points
+        if ext:
+            def ood_multi_local(that_loc, q_coeffs_loc, pts):
+                rows = []
+                for s in range(ns):
+                    for c in range(k):
+                        rows.append(_ood_partial_ext(that_loc[c], pts[s]))
+                rows.append(_ood_partial_ext(q_coeffs_loc, pts[0]))
+                part = jnp.stack(rows)  # (ns*k+1, 4)
+                allp = jax.lax.all_gather(part, AXIS, axis=0)
+                return bb.sum_mod(allp, axis=0)
+        else:
+            def ood_multi_local(that_loc, q_coeffs_loc, pts):
+                rows = []
+                for s in range(ns):
+                    for c in range(k):
+                        rows.append(_ood_partial(that_loc[c], pts[s]))
+                rows.append(_ood_partial(q_coeffs_loc, pts[0]))
+                part = jnp.stack(rows)  # (ns*k+1,)
+                allp = jax.lax.all_gather(part, AXIS, axis=0)
+                return bb.sum_mod(allp, axis=0)
+
+        fns["ood"] = jax.jit(jax.shard_map(
+            ood_multi_local, mesh=mesh, in_specs=(blk, blk, rep),
+            out_specs=rep, check_vma=False,
+        ))
+
+    # ── DEEP quotient (fully local in cyclic layout) ───────────────────────
+    def _deep_num_base(trace_lde, q_evals, oodv):
+        """Base numerator sum for the reference shape (3 shifts, 1 col)."""
         num = bb.sub(q_evals, oodv[3])
         num = bb.add(num, bb.sub(jnp.roll(trace_lde, -2 * (B // D)), oodv[2]))
         num = bb.add(num, bb.sub(jnp.roll(trace_lde, -(B // D)), oodv[1]))
-        num = bb.add(num, bb.sub(trace_lde, oodv[0]))
-        return bb.mul(num, bb.inv(bb.sub(x_loc, z)))[None]
+        return bb.add(num, bb.sub(trace_lde, oodv[0]))
 
-    deep = jax.jit(jax.shard_map(
+    if not multi and not ext:
+        def deep_local(trace_lde, q_evals, oodv, z, x_loc):
+            trace_lde, q_evals, x_loc = trace_lde[0], q_evals[0], x_loc[0]
+            num = _deep_num_base(trace_lde, q_evals, oodv)
+            return bb.mul(num, bb.inv(bb.sub(x_loc, z)))[None]
+    elif not multi and ext:
+        def deep_local(trace_lde, q_evals, oodv, z4, x_loc):
+            trace_lde, q_evals, x_loc = trace_lde[0], q_evals[0], x_loc[0]
+            base_sum = bb.add(
+                bb.add(q_evals, jnp.roll(trace_lde, -2 * (B // D))),
+                bb.add(jnp.roll(trace_lde, -(B // D)), trace_lde),
+            )
+            ood_sum = bb.sum_mod(oodv, axis=0)  # (4,)
+            zero = jnp.zeros_like(base_sum)
+            num = jnp.stack(
+                [bb.sub(base_sum, ood_sum[0])]
+                + [bb.sub(zero, ood_sum[j]) for j in (1, 2, 3)],
+                axis=-1,
+            )
+            x_minus_z = jnp.stack(
+                [bb.sub(x_loc, z4[0])]
+                + [bb.sub(zero, z4[j]) for j in (1, 2, 3)],
+                axis=-1,
+            )
+            return extf.mul(num, extf.inv_fast(x_minus_z))[None]
+    elif multi and not ext:
+        def deep_local(trace_lde, q_evals, oodv, z, x_loc):
+            lde_k = jnp.moveaxis(trace_lde[0], -1, 0)  # (k, mloc)
+            q_evals, x_loc = q_evals[0], x_loc[0]
+            num = bb.sub(q_evals, oodv[ns * k])
+            for s in range(ns):
+                rolled = jnp.roll(lde_k, -s * (B // D), axis=1)
+                for c in range(k):
+                    num = bb.add(num, bb.sub(rolled[c], oodv[s * k + c]))
+            return bb.mul(num, bb.inv(bb.sub(x_loc, z)))[None]
+    else:
+        def deep_local(trace_lde, q_evals, oodv, z4, x_loc):
+            lde_k = jnp.moveaxis(trace_lde[0], -1, 0)
+            q_evals, x_loc = q_evals[0], x_loc[0]
+            base_sum = q_evals
+            for s in range(ns):
+                rolled = jnp.roll(lde_k, -s * (B // D), axis=1)
+                for c in range(k):
+                    base_sum = bb.add(base_sum, rolled[c])
+            ood_sum = bb.sum_mod(oodv, axis=0)  # (4,)
+            zero = jnp.zeros_like(base_sum)
+            num = jnp.stack(
+                [bb.sub(base_sum, ood_sum[0])]
+                + [bb.sub(zero, ood_sum[j]) for j in (1, 2, 3)],
+                axis=-1,
+            )
+            x_minus_z = jnp.stack(
+                [bb.sub(x_loc, z4[0])]
+                + [bb.sub(zero, z4[j]) for j in (1, 2, 3)],
+                axis=-1,
+            )
+            return extf.mul(num, extf.inv_fast(x_minus_z))[None]
+
+    fns["deep"] = jax.jit(jax.shard_map(
         deep_local, mesh=mesh,
         in_specs=(cyc, cyc, rep, rep, cyc),
         out_specs=cyc, check_vma=False,
     ))
 
-    # ── per-layer: commit a codeword (salted) with retained levels ────────
+    # ── per-layer: commit a codeword with retained levels ──────────────────
     @functools.lru_cache(maxsize=32)
     def layer_commit_fn(size: int, salted: bool):
         ml = size // D
+        mode = "ext" if ext else "base"
 
         def f_local(values, salts):
             lo, top = _commit_with_levels(
-                values[0], salts[0] if salted else None
+                values[0], salts[0] if salted else None, mode
             )
             return dict(lo=lo, top=top)
 
@@ -245,20 +461,52 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
             out_specs=dict(lo=lo_s, top=top_s), check_vma=False,
         ))
 
-    # ── per-layer: one FRI fold ───────────────────────────────────────────
+    # ── per-layer: one FRI fold (sharded, cyclic layout) ───────────────────
     @functools.lru_cache(maxsize=32)
     def fold_fn(size: int):
-        def f_local(current, xs, beta):
-            current, xs = current[0], xs[0]
-            half_loc = current.shape[0] // 2
-            folded = _fold_traced(current, xs[:half_loc], beta)
-            xs2 = bb.mont_mul(xs[:half_loc], xs[:half_loc])
-            return folded[None], xs2[None]
+        if ext:
+            def f_local(current, xs, beta4):
+                current, xs = current[0], xs[0]
+                half_loc = current.shape[0] // 2
+                folded = fri_fold_ext(current, xs[:half_loc], beta4)
+                xs2 = bb.mont_mul(xs[:half_loc], xs[:half_loc])
+                return folded[None], xs2[None]
+        else:
+            def f_local(current, xs, beta):
+                current, xs = current[0], xs[0]
+                half_loc = current.shape[0] // 2
+                folded = _fold_traced(current, xs[:half_loc], beta)
+                xs2 = bb.mont_mul(xs[:half_loc], xs[:half_loc])
+                return folded[None], xs2[None]
 
         return jax.jit(jax.shard_map(
             f_local, mesh=mesh, in_specs=(cyc, cyc, rep),
             out_specs=(cyc, cyc), check_vma=False,
         ))
+
+    # ── replicated tail: fold / commit for layers smaller than the mesh ────
+    def _rep_fold(current, xs, beta):
+        half = current.shape[0] // 2
+        if ext:
+            folded = fri_fold_ext(current, xs[:half], beta)
+        else:
+            folded = _fold_traced(current, xs[:half], beta)
+        return folded, bb.mont_mul(xs[:half], xs[:half])
+
+    def _rep_commit(values, salts):
+        mode = "ext" if ext else "base"
+        return _local_levels(_leaf_digests(values, salts, mode))
+
+    fns["rep_fold"] = jax.jit(_rep_fold, out_shardings=(rep_sh, rep_sh))
+    fns["rep_commit_salted"] = jax.jit(
+        _rep_commit, out_shardings=rep_sh
+    )
+    fns["rep_commit_unsalted"] = jax.jit(
+        lambda v: _rep_commit(v, None), out_shardings=rep_sh
+    )
+    # cyclic (D, 1, ...) -> natural replicated (D, ...): with one element
+    # per shard the cyclic order IS the natural order
+    fns["to_rep"] = jax.jit(lambda a: a[:, 0], out_shardings=rep_sh)
 
     # explicit global shardings so every process contributes its addressable
     # shards (required in multi-process runs; a no-op placement single-process)
@@ -269,24 +517,29 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
         shiftb=shift_bwd, W=plan["W"], W_inv=plan["W_inv"],
     )
     tables = {
-        k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, tspec[k]))
-        for k, v in traw.items()
+        kk: jax.device_put(jnp.asarray(v), NamedSharding(mesh, tspec[kk]))
+        for kk, v in traw.items()
     }
     return dict(
-        mesh=mesh, commit=commit, ood=ood, deep=deep,
+        mesh=mesh, fns=fns,
         layer_commit=layer_commit_fn, fold=fold_fn, tables=tables,
         params=(N, L, final_size, B),
+        shape=(k, nc, ns, ext, multi),
     )
 
 
 class _DistTree:
     """Global tree view: list of levels (mixed block-sharded / replicated
-    jax arrays), natural leaf order, plus the cyclic value/salt arrays."""
+    jax arrays), natural leaf order, plus the cyclic value/salt arrays.
+
+    `values` is (D0, m, ...) with global leaf i at [i % D0, i // D0]; a
+    REPLICATED natural-order layer stores values.reshape(size, 1, ...) so
+    the same index algebra applies (i % size = i, i // size = 0)."""
 
     def __init__(self, lo, top, values_cyc, salts_cyc, mesh=None):
         self.levels = list(lo) + list(top)
-        self.values = values_cyc  # (D, m) cyclic
-        self.salts = salts_cyc    # (D, m, 4) cyclic or None
+        self.values = values_cyc  # (D0, m, ...) cyclic
+        self.salts = salts_cyc    # (D0, m, 4) cyclic or None
         self.mesh = mesh
 
     def root(self) -> bytes:
@@ -355,12 +608,14 @@ class _DistTree:
 
 class DistributedStarkProver:
     """Drop-in StarkProver that runs every device phase over a D-way mesh.
-    Produces byte-identical proofs to the single-device prover (same seed)."""
+    Produces byte-identical proofs to the single-device prover (same seed)
+    in every protocol mode (base / ext / multi-column / multi-constraint)."""
 
     def __init__(self, trace: ExecutionTrace, n_devices: int,
-                 config: StarkConfig = DEFAULT_CONFIG, seed=None):
+                 air=None, config: StarkConfig = DEFAULT_CONFIG, seed=None):
         self.trace = trace
         self.D = n_devices
+        self.air = air or _DEFAULT_AIR
         self.config = config
         self.rng = np.random.default_rng(seed)
 
@@ -370,77 +625,22 @@ class DistributedStarkProver:
         key = jax.random.PRNGKey(int(self.rng.integers(0, 2**63)))
         return np.asarray(jax.random.bits(key, (count, 4), dtype=jnp.uint32))
 
-    def generate_proof(self) -> StarkProof:
+    # ── FRI (interactive: root -> transcript -> beta -> fold) ──────────────
+    def _fri_phase(self, ph, d_evals, transcript, shard_cyc):
+        """Shared FRI folding across all modes. `d_evals` is the cyclic
+        (D, mloc[, 4]) DEEP codeword. Returns (sizes, trees, commitments,
+        final_layer_host). Layers fold shard-local while D | half; smaller
+        layers convert once to replicated natural order."""
         cfg = self.config
         D = self.D
-        n = self.trace.num_rows
-        ph = _phases(n, D, cfg)
-        N, _L, final_size, B = ph["params"]
         mesh = ph["mesh"]
-        tb = ph["tables"]
-        domain = Domain.new(n)
-        g = domain.group_gen()
-
-        def shard_cyc(v_np):
-            arr = to_cyclic_np(v_np, D)
-            return jax.device_put(
-                jnp.asarray(arr), NamedSharding(mesh, Pspec(AXIS, *([None] * (arr.ndim - 1))))
-            )
-
+        fns = ph["fns"]
+        N, _L, final_size, _B = ph["params"]
+        ext = ph["shape"][3]
         rep_sh = NamedSharding(mesh, Pspec())
 
-        # randomness, in the single-prover's exact draw order
-        m_deg = cfg.mask_degree
-        r_mask = jax.device_put(jnp.asarray(
-            self.rng.integers(0, P, m_deg, dtype=np.uint64).astype(np.uint32)
-        ), rep_sh)
-        trace_salts_np = self._salts_np(N)
-        quot_salts_np = self._salts_np(N)
-
-        trace_col = jax.device_put(
-            jnp.asarray(self.trace.columns[0].astype(np.uint32)), rep_sh
-        )
-        trace_salts = shard_cyc(trace_salts_np)
-        quot_salts = shard_cyc(quot_salts_np)
-
-        out = ph["commit"](
-            trace_col, r_mask, trace_salts, quot_salts,
-            tb["x"], tb["zh"], tb["shiftf"], tb["W"], tb["W_inv"], tb["shiftb"],
-        )
-        trace_tree = _DistTree(out["t_lo"], out["t_top"], out["trace_lde"],
-                               trace_salts, mesh)
-        quot_tree = _DistTree(out["q_lo"], out["q_top"], out["q_evals"],
-                              quot_salts, mesh)
-        trace_root = trace_tree.root()
-        quotient_root = quot_tree.root()
-
-        transcript = Transcript()
-        transcript.absorb_commitment(trace_root)
-        transcript.absorb_commitment(quotient_root)
-        z = derive_z(transcript, N, cfg.coset_shift)
-
-        ood_vec = ph["ood"](
-            out["that_loc"], out["q_coeffs_loc"],
-            jnp.uint32(z), jnp.uint32(g * z % P),
-            jnp.uint32(g * g % P * z % P),
-        )
-        ood_np = np.asarray(ood_vec, np.uint64)
-        t_z, t_gz, t_ggz, q_z = (int(v) for v in ood_np)
-
-        air = FibonacciAir()
-        c_z = air.constraint_at([t_z, t_gz, t_ggz], z, g, n)
-        if c_z != q_z * domain.eval_vanishing(z) % P:
-            raise ValueError("Constraint check at z failed — invalid trace")
-        for v in (t_z, t_gz, t_ggz, q_z):
-            transcript.absorb_field(v)
-
-        d_evals = ph["deep"](
-            out["trace_lde"], out["q_evals"], ood_vec, jnp.uint32(z), tb["x"],
-        )
-
-        # ── FRI (interactive: root -> transcript -> beta -> fold) ─────────
+        fri_sizes = [N]
         fri_trees = []
-        fri_layers = [d_evals]
         fri_commitments = []
 
         salts0_np = self._salts_np(N)
@@ -452,57 +652,304 @@ class DistributedStarkProver:
         fri_commitments.append(root0)
         fri_trees.append(tree0)
 
-        xs_inv = tb["xs0"]
+        xs_inv = ph["tables"]["xs0"]
         current = d_evals
-        while current.shape[0] * current.shape[1] > final_size:
-            beta = transcript.squeeze_challenge()
-            size = current.shape[0] * current.shape[1]
-            current, xs_inv = ph["fold"](size)(current, xs_inv, jnp.uint32(beta))
-            fri_layers.append(current)
+        size = N
+        replicated = False
+        while size > final_size:
+            if ext:
+                beta = transcript.squeeze_ext_challenge()
+                beta_arg = jnp.asarray(beta, jnp.uint32)
+            else:
+                beta = transcript.squeeze_challenge()
+                beta_arg = jnp.uint32(beta)
+            if not replicated and (size // 2) % D != 0:
+                # layer is about to shrink below the mesh: one conversion
+                # to natural replicated (local length is 1, so cyclic IS
+                # natural order), then the tiny tail folds replicated
+                current = fns["to_rep"](current)
+                xs_inv = fns["to_rep"](xs_inv)
+                replicated = True
+            if replicated:
+                current, xs_inv = fns["rep_fold"](current, xs_inv, beta_arg)
+            else:
+                current, xs_inv = ph["fold"](size)(current, xs_inv, beta_arg)
             size //= 2
+            fri_sizes.append(size)
             if size == final_size:
-                lv = ph["layer_commit"](size, False)(current)
-                tree = _DistTree(lv["lo"], lv["top"], current, None, mesh)
+                salts = None
             else:
                 salts_np = self._salts_np(size)
-                salts = shard_cyc(salts_np)
-                lv = ph["layer_commit"](size, True)(current, salts)
+                salts = shard_cyc(salts_np) if not replicated else (
+                    jax.device_put(jnp.asarray(salts_np), rep_sh)
+                )
+            if replicated:
+                levels = (
+                    fns["rep_commit_salted"](current, salts)
+                    if salts is not None
+                    else fns["rep_commit_unsalted"](current)
+                )
+                v2 = current.reshape(size, 1, *current.shape[1:])
+                s2 = None if salts is None else salts.reshape(size, 1, 4)
+                tree = _DistTree([], levels, v2, s2, mesh)
+            else:
+                lv = ph["layer_commit"](size, salts is not None)(
+                    *((current, salts) if salts is not None else (current,))
+                )
                 tree = _DistTree(lv["lo"], lv["top"], current, salts, mesh)
             root = tree.root()
             transcript.absorb_commitment(root)
             fri_commitments.append(root)
             fri_trees.append(tree)
 
-        if jax.process_count() > 1:
-            current_rep = jax.jit(lambda a: a, out_shardings=rep_sh)(current)
-            final_cyc = np.asarray(current_rep, np.uint64)  # (D, final/D)
+        if replicated:
+            final_np = np.asarray(current, np.uint64)  # natural already
         else:
-            final_cyc = np.asarray(current, np.uint64)  # (D, final/D)
-        fri_final_layer = [
-            int(v) for v in final_cyc.swapaxes(0, 1).reshape(-1)
-        ]
+            if jax.process_count() > 1:
+                current = jax.jit(lambda a: a, out_shardings=rep_sh)(current)
+            final_cyc = np.asarray(current, np.uint64)  # (D, final/D[, 4])
+            final_np = final_cyc.swapaxes(0, 1).reshape(
+                -1, *final_cyc.shape[2:]
+            )
+        if ext:
+            fri_final_layer = [tuple(int(v) for v in row) for row in final_np]
+        else:
+            fri_final_layer = [int(v) for v in final_np]
+        return fri_sizes, fri_trees, fri_commitments, fri_final_layer
+
+    def generate_proof(self) -> StarkProof:
+        cfg = self.config
+        D = self.D
+        n = self.trace.num_rows
+        air = self.air
+        ph = _phases(n, D, cfg, air)
+        N, _L, final_size, B = ph["params"]
+        k, nc, ns, ext, multi = ph["shape"]
+        mesh = ph["mesh"]
+        fns = ph["fns"]
+        tb = ph["tables"]
+        domain = Domain.new(n)
+        g = domain.group_gen()
+
+        def shard_cyc(v_np):
+            arr = to_cyclic_np(v_np, D)
+            return jax.device_put(
+                jnp.asarray(arr),
+                NamedSharding(mesh, Pspec(AXIS, *([None] * (arr.ndim - 1)))),
+            )
+
+        rep_sh = NamedSharding(mesh, Pspec())
+
+        # ── randomness, in the single-prover's exact draw order ────────────
+        m_deg = cfg.mask_degree
+        if multi:
+            r_masks = jax.device_put(jnp.asarray(
+                self.rng.integers(0, P, (k, m_deg), dtype=np.uint64)
+                .astype(np.uint32)
+            ), rep_sh)
+            trace_cols = jax.device_put(jnp.asarray(
+                np.stack([c.astype(np.uint32) for c in self.trace.columns])
+            ), rep_sh)
+            assert len(self.trace.columns) == k
+        else:
+            r_mask = jax.device_put(jnp.asarray(
+                self.rng.integers(0, P, m_deg, dtype=np.uint64)
+                .astype(np.uint32)
+            ), rep_sh)
+            trace_col = jax.device_put(
+                jnp.asarray(self.trace.columns[0].astype(np.uint32)), rep_sh
+            )
+        trace_salts_np = self._salts_np(N)
+        quot_salts_np = self._salts_np(N)
+        trace_salts = shard_cyc(trace_salts_np)
+        quot_salts = shard_cyc(quot_salts_np)
+
+        # ── commit phase(s) ────────────────────────────────────────────────
+        transcript = Transcript()
+        if multi:
+            out1 = fns["commit_trace"](
+                trace_cols, r_masks, trace_salts, tb["shiftf"], tb["W"],
+            )
+            trace_tree = _DistTree(out1["t_lo"], out1["t_top"],
+                                   out1["trace_lde"], trace_salts, mesh)
+            trace_root = trace_tree.root()
+            transcript.absorb_commitment(trace_root)
+            alphas = (
+                tuple(transcript.squeeze_challenge() for _ in range(nc))
+                if nc > 1 else ()
+            )
+            out2 = fns["commit_quot"](
+                out1["trace_lde"], quot_salts,
+                jax.device_put(
+                    jnp.asarray(np.array(alphas, np.uint32)), rep_sh
+                ),
+                tb["x"], tb["zh"], tb["W_inv"], tb["shiftb"],
+            )
+            quot_tree = _DistTree(out2["q_lo"], out2["q_top"],
+                                  out2["q_evals"], quot_salts, mesh)
+            quotient_root = quot_tree.root()
+            transcript.absorb_commitment(quotient_root)
+            that_loc = out1["that_loc"]
+            trace_lde = out1["trace_lde"]
+            q_evals = out2["q_evals"]
+            q_coeffs_loc = out2["q_coeffs_loc"]
+        else:
+            out = fns["commit"](
+                trace_col, r_mask, trace_salts, quot_salts,
+                tb["x"], tb["zh"], tb["shiftf"], tb["W"], tb["W_inv"],
+                tb["shiftb"],
+            )
+            trace_tree = _DistTree(out["t_lo"], out["t_top"],
+                                   out["trace_lde"], trace_salts, mesh)
+            quot_tree = _DistTree(out["q_lo"], out["q_top"],
+                                  out["q_evals"], quot_salts, mesh)
+            trace_root = trace_tree.root()
+            quotient_root = quot_tree.root()
+            transcript.absorb_commitment(trace_root)
+            transcript.absorb_commitment(quotient_root)
+            that_loc = out["that_loc"]
+            trace_lde = out["trace_lde"]
+            q_evals = out["q_evals"]
+            q_coeffs_loc = out["q_coeffs_loc"]
+            alphas = ()
+
+        # ── z, OOD evaluations, constraint sanity, DEEP ────────────────────
+        if ext:
+            z = derive_z_ext(transcript, N, cfg.coset_shift)
+            if multi:
+                pts_h = [extf.h_mul_base(z, pow(g, s, P)) for s in range(ns)]
+                pts = jnp.asarray(np.array(pts_h, np.uint32))  # (ns, 4)
+                ood_vec = fns["ood"](that_loc, q_coeffs_loc, pts)
+                ood_np = np.asarray(ood_vec, np.uint64)        # (ns*k+1, 4)
+                ood_trace = tuple(
+                    tuple(tuple(int(v) for v in ood_np[s * k + c])
+                          for c in range(k))
+                    for s in range(ns)
+                )
+                q_z = tuple(int(v) for v in ood_np[ns * k])
+                t_scalars = [
+                    ood_trace[s] if k > 1 else ood_trace[s][0]
+                    for s in range(ns)
+                ]
+                if nc > 1:
+                    c_z = air.constraint_at_ext(t_scalars, z, g, n, alphas)
+                else:
+                    c_z = air.constraint_at_ext(t_scalars, z, g, n)
+                z_z = extf.h_sub(extf.h_pow(z, n), extf.H_ONE)
+                if c_z != extf.h_mul(q_z, z_z):
+                    raise ValueError(
+                        "Constraint check at z failed — invalid trace"
+                    )
+                for row in ood_trace:
+                    for v in row:
+                        transcript.absorb_ext(v)
+                transcript.absorb_ext(q_z)
+                z4 = jnp.asarray(z, jnp.uint32)
+                d_evals = fns["deep"](trace_lde, q_evals, ood_vec, z4,
+                                      tb["x"])
+            else:
+                gz = extf.h_mul_base(z, g)
+                ggz = extf.h_mul_base(z, g * g % P)
+                ood_vec = fns["ood"](
+                    that_loc, q_coeffs_loc,
+                    jnp.asarray(z, jnp.uint32), jnp.asarray(gz, jnp.uint32),
+                    jnp.asarray(ggz, jnp.uint32),
+                )
+                ood_np = np.asarray(ood_vec, np.uint64)  # (4, 4)
+                t_z, t_gz, t_ggz, q_z = (
+                    tuple(int(v) for v in row) for row in ood_np
+                )
+                c_z = air.constraint_at_ext([t_z, t_gz, t_ggz], z, g, n)
+                z_z = extf.h_sub(extf.h_pow(z, n), extf.H_ONE)
+                if c_z != extf.h_mul(q_z, z_z):
+                    raise ValueError(
+                        "Constraint check at z failed — invalid trace"
+                    )
+                for v in (t_z, t_gz, t_ggz, q_z):
+                    transcript.absorb_ext(v)
+                d_evals = fns["deep"](
+                    trace_lde, q_evals, ood_vec,
+                    jnp.asarray(z, jnp.uint32), tb["x"],
+                )
+        else:
+            z = derive_z(transcript, N, cfg.coset_shift)
+            if multi:
+                pts = jnp.asarray(np.array(
+                    [z * pow(g, s, P) % P for s in range(ns)], np.uint32
+                ))
+                ood_vec = fns["ood"](that_loc, q_coeffs_loc, pts)
+                ood_np = np.asarray(ood_vec, np.uint64)
+                ood_trace = tuple(
+                    tuple(int(ood_np[s * k + c]) for c in range(k))
+                    for s in range(ns)
+                )
+                q_z = int(ood_np[ns * k])
+                t_scalars = [
+                    ood_trace[s] if k > 1 else ood_trace[s][0]
+                    for s in range(ns)
+                ]
+                if nc > 1:
+                    c_z = air.constraint_at(t_scalars, z, g, n, alphas)
+                else:
+                    c_z = air.constraint_at(t_scalars, z, g, n)
+                if c_z != q_z * domain.eval_vanishing(z) % P:
+                    raise ValueError(
+                        "Constraint check at z failed — invalid trace"
+                    )
+                for row in ood_trace:
+                    for v in row:
+                        transcript.absorb_field(v)
+                transcript.absorb_field(q_z)
+                d_evals = fns["deep"](trace_lde, q_evals, ood_vec,
+                                      jnp.uint32(z), tb["x"])
+            else:
+                ood_vec = fns["ood"](
+                    that_loc, q_coeffs_loc,
+                    jnp.uint32(z), jnp.uint32(g * z % P),
+                    jnp.uint32(g * g % P * z % P),
+                )
+                ood_np = np.asarray(ood_vec, np.uint64)
+                t_z, t_gz, t_ggz, q_z = (int(v) for v in ood_np)
+                c_z = air.constraint_at([t_z, t_gz, t_ggz], z, g, n)
+                if c_z != q_z * domain.eval_vanishing(z) % P:
+                    raise ValueError(
+                        "Constraint check at z failed — invalid trace"
+                    )
+                for v in (t_z, t_gz, t_ggz, q_z):
+                    transcript.absorb_field(v)
+                d_evals = fns["deep"](
+                    trace_lde, q_evals, ood_vec, jnp.uint32(z), tb["x"],
+                )
+
+        # ── FRI ────────────────────────────────────────────────────────────
+        fri_sizes, fri_trees, fri_commitments, fri_final_layer = (
+            self._fri_phase(ph, d_evals, transcript, shard_cyc)
+        )
 
         # ── query phase (distributed gathers) ─────────────────────────────
         half0 = N // 2
         query_indices = transcript.squeeze_indices(cfg.num_queries, half0)
-        num_folds = len(fri_layers) - 1
+        num_folds = len(fri_sizes) - 1
 
-        trace_idx, deep_idx = [], []
+        trace_idx = []
         for qi in query_indices:
-            trace_idx += [qi, (qi + B) % N, (qi + 2 * B) % N]
+            trace_idx += [(qi + s * B) % N for s in range(ns)]
+        deep_idx = []
+        for qi in query_indices:
             deep_idx += [qi, qi + half0]
         quot_idx = list(query_indices)
         fri_idx = [[] for _ in range(1, num_folds)]
         for qi in query_indices:
             idx = qi
             for li in range(1, num_folds):
-                half = (fri_layers[li].shape[0] * fri_layers[li].shape[1]) // 2
+                half = fri_sizes[li] // 2
                 idx = idx % half
                 fri_idx[li - 1] += [idx, idx + half]
 
         def openings(tree, indices):
             vals, salts, paths = tree.open_at(indices)
-            proofs = openings_from_paths(indices, paths, len(tree.levels) - 1)
+            proofs = openings_from_paths(indices, paths,
+                                         len(tree.levels) - 1)
             return vals, salts, proofs
 
         tr_vals, tr_salts, tr_proofs = openings(trace_tree, trace_idx)
@@ -518,7 +965,9 @@ class DistributedStarkProver:
                 b"".join(int(w).to_bytes(4, "big") for w in salts[j])
                 if salts is not None else b""
             )
-            return MerkleOpening(indices[j], int(vals[j]), proofs[j], salt)
+            v = vals[j]
+            value = tuple(int(x) for x in v) if np.ndim(v) else int(v)
+            return MerkleOpening(indices[j], value, proofs[j], salt)
 
         query_proofs = []
         for q, qi in enumerate(query_indices):
@@ -527,26 +976,71 @@ class DistributedStarkProver:
                 vals, salts, proofs = fri_open[li - 1]
                 fri_ops.append(
                     (mk_open(fri_idx[li - 1], vals, salts, proofs, 2 * q),
-                     mk_open(fri_idx[li - 1], vals, salts, proofs, 2 * q + 1))
+                     mk_open(fri_idx[li - 1], vals, salts, proofs,
+                             2 * q + 1))
                 )
-            query_proofs.append(
-                QueryProof(
-                    index=qi,
-                    deep_opening=mk_open(deep_idx, d_vals, d_salts, d_proofs, 2 * q),
-                    deep_opening_pair=mk_open(deep_idx, d_vals, d_salts, d_proofs, 2 * q + 1),
-                    trace_opening=mk_open(trace_idx, tr_vals, tr_salts, tr_proofs, 3 * q),
-                    trace_opening_g=mk_open(trace_idx, tr_vals, tr_salts, tr_proofs, 3 * q + 1),
-                    trace_opening_gg=mk_open(trace_idx, tr_vals, tr_salts, tr_proofs, 3 * q + 2),
-                    quotient_opening=mk_open(quot_idx, q_vals, q_salts, q_proofs, q),
-                    fri_openings=fri_ops,
+            if multi:
+                trace_ops = [
+                    mk_open(trace_idx, tr_vals, tr_salts, tr_proofs,
+                            ns * q + s)
+                    for s in range(ns)
+                ]
+                query_proofs.append(
+                    QueryProof(
+                        index=qi,
+                        deep_opening=mk_open(deep_idx, d_vals, d_salts,
+                                             d_proofs, 2 * q),
+                        deep_opening_pair=mk_open(deep_idx, d_vals, d_salts,
+                                                  d_proofs, 2 * q + 1),
+                        trace_opening=None,
+                        trace_opening_g=None,
+                        trace_opening_gg=None,
+                        quotient_opening=mk_open(quot_idx, q_vals, q_salts,
+                                                 q_proofs, q),
+                        fri_openings=fri_ops,
+                        trace_openings=trace_ops,
+                    )
                 )
-            )
+            else:
+                query_proofs.append(
+                    QueryProof(
+                        index=qi,
+                        deep_opening=mk_open(deep_idx, d_vals, d_salts,
+                                             d_proofs, 2 * q),
+                        deep_opening_pair=mk_open(deep_idx, d_vals, d_salts,
+                                                  d_proofs, 2 * q + 1),
+                        trace_opening=mk_open(trace_idx, tr_vals, tr_salts,
+                                              tr_proofs, ns * q),
+                        trace_opening_g=mk_open(trace_idx, tr_vals, tr_salts,
+                                                tr_proofs, ns * q + 1),
+                        trace_opening_gg=mk_open(trace_idx, tr_vals,
+                                                 tr_salts, tr_proofs,
+                                                 ns * q + 2),
+                        quotient_opening=mk_open(quot_idx, q_vals, q_salts,
+                                                 q_proofs, q),
+                        fri_openings=fri_ops,
+                    )
+                )
 
+        if multi:
+            return StarkProof(
+                trace_len=n, lde_size=N,
+                trace_commitment=trace_root,
+                quotient_commitment=quotient_root,
+                t_z=None, t_gz=None, t_ggz=None, q_z=q_z,
+                fri_commitments=fri_commitments,
+                fri_final_layer=fri_final_layer,
+                query_proofs=query_proofs,
+                ext=ext, ood_trace=ood_trace,
+                num_columns=k, num_shifts=ns,
+            )
         return StarkProof(
             trace_len=n, lde_size=N,
-            trace_commitment=trace_root, quotient_commitment=quotient_root,
+            trace_commitment=trace_root,
+            quotient_commitment=quotient_root,
             t_z=t_z, t_gz=t_gz, t_ggz=t_ggz, q_z=q_z,
             fri_commitments=fri_commitments,
             fri_final_layer=fri_final_layer,
             query_proofs=query_proofs,
+            ext=ext,
         )
