@@ -1,13 +1,21 @@
-"""Benchmark: NTT butterfly throughput on one TPU chip.
+"""Benchmark: NTT throughput + end-to-end proofs/sec on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "extra": {...}}
 
 Headline metric (BASELINE.md): butterflies/sec/chip for a 2^24-point BabyBear
-NTT — the kernel the reference accelerates with CUDA (cuda/ntt_kernel.cu).
-The reference publishes no numbers, so `vs_baseline` reports the speedup over
+NTT via the DEFAULT accelerated path (the MXU limb-matmul NTT since round 2)
+— the kernel the reference accelerates with CUDA (cuda/ntt_kernel.cu). The
+reference publishes no numbers, so `vs_baseline` reports the speedup over
 this framework's own CPU execution of the identical computation (the
 reference's CPU-vs-accelerator comparison, src/ntt.rs:264-287, in spirit).
+
+`extra` carries the BASELINE.md end-to-end metrics: Fibonacci proofs/sec at
+trace 2^8 and 2^16 (full ZK pipeline, host-verified), measured steady-state
+with the phase prover. Stages respect a deadline so the driver's 1700 s
+budget is never exceeded — a stage that would not fit is skipped and its
+key reports null.
 """
 
 from __future__ import annotations
@@ -20,6 +28,12 @@ import numpy as np
 
 LOG_N = 24
 CPU_LOG_N = 20  # CPU comparison size (same op, smaller for time), scaled
+DEADLINE_S = 1500  # leave driver-budget headroom for interpreter/teardown
+_T0 = time.perf_counter()
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.perf_counter() - _T0)
 
 
 def _enable_compile_cache():
@@ -50,8 +64,8 @@ def _bench_backend(device, log_n: int, iters: int) -> float:
     from toyni_tpu.field.babybear import P, get_root_of_unity
     from toyni_tpu.ops import ntt as ntt_ops
 
-    # Pin the default device so backend-conditional paths (the Pallas
-    # fused-stage kernel is TPU-only) resolve for THIS device at trace time.
+    # Pin the default device so backend-conditional paths (the MXU NTT is
+    # TPU-only) resolve for THIS device at trace time.
     jax.config.update("jax_default_device", device)
 
     n = 1 << log_n
@@ -78,6 +92,65 @@ def _bench_backend(device, log_n: int, iters: int) -> float:
     return dt
 
 
+def _bench_proofs(device, rows: int, iters: int):
+    """Steady-state seconds/proof for the phase prover at `rows` trace rows
+    (full ZK pipeline); the first proof is host-verified."""
+    import jax
+
+    from toyni_tpu.field.babybear import P
+    from toyni_tpu.prover import StarkProver
+    from toyni_tpu.trace import ExecutionTrace
+    from toyni_tpu.verifier import StarkVerifier
+
+    jax.config.update("jax_default_device", device)
+
+    def trace():
+        fibs, a, b = [], 1, 1
+        for _ in range(rows):
+            fibs.append(a % P)
+            a, b = b, (a + b) % P
+        t = ExecutionTrace()
+        t.insert_column(fibs)
+        return t
+
+    first = StarkProver(trace(), seed=1).generate_proof()
+    assert StarkVerifier().verify(first), "bench proof rejected by verifier"
+    t0 = time.perf_counter()
+    for i in range(iters):
+        StarkProver(trace(), seed=10 + i).generate_proof()
+    return (time.perf_counter() - t0) / iters
+
+
+def _proofs_stage_main(rows: int, iters: int) -> None:
+    """Child-process entry: print one float (seconds/proof) on the last
+    line. Run as `python bench.py --proofs <rows> <iters>`."""
+    _enable_compile_cache()
+    import jax
+
+    tpu = [d for d in jax.devices() if d.platform == "tpu"]
+    dev = tpu[0] if tpu else jax.devices()[0]
+    print(_bench_proofs(dev, rows, iters))
+
+
+def _proofs_subprocess(rows: int, iters: int, budget: float):
+    """Run a proofs stage in a child process under a HARD timeout: a hung
+    remote compile then costs its budget, not the driver's whole run."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--proofs", str(rows), str(iters)],
+            capture_output=True, text=True, timeout=budget,
+        )
+        if out.returncode != 0:
+            return None, "stage_failed"
+        return float(out.stdout.strip().splitlines()[-1]), None
+    except subprocess.TimeoutExpired:
+        return None, "stage_timeout"
+    except Exception as e:  # noqa: BLE001
+        return None, type(e).__name__
+
+
 def main() -> None:
     _enable_compile_cache()
     import jax
@@ -92,6 +165,23 @@ def main() -> None:
     butterflies = n // 2 * LOG_N
     tpu_rate = butterflies / sec
 
+    extra = {"e2e_prover": "phase", "ntt_ms_2e24": round(sec * 1e3, 2)}
+
+    # end-to-end proofs/sec (BASELINE.md metrics): each stage runs in a
+    # child process under a hard timeout sized to what the deadline allows
+    for key, rows, iters, budget in (
+        ("proofs_per_sec_2e8", 1 << 8, 5, 420),
+        ("proofs_per_sec_2e16", 1 << 16, 3, 600),
+    ):
+        budget = min(budget, _remaining() - 90)  # keep teardown headroom
+        if budget < 120:
+            extra[key] = None
+            continue
+        spp, err = _proofs_subprocess(rows, iters, budget)
+        extra[key] = round(1.0 / spp, 3) if spp else None
+        if err:
+            extra[key + "_error"] = err
+
     # CPU comparison at a feasible size; butterflies/sec is size-normalized
     cpu_sec = _bench_backend(cpu[0], CPU_LOG_N, iters=3)
     cpu_n = 1 << CPU_LOG_N
@@ -104,10 +194,14 @@ def main() -> None:
                 "value": round(tpu_rate),
                 "unit": "butterflies/s/chip",
                 "vs_baseline": round(tpu_rate / cpu_rate, 2),
+                "extra": extra,
             }
         )
     )
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--proofs":
+        _proofs_stage_main(int(sys.argv[2]), int(sys.argv[3]))
+        sys.exit(0)
     sys.exit(main())

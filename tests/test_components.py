@@ -169,3 +169,33 @@ def test_profiling_roofline_counters():
         lambda v: bb.mont_mul(v, v), x, measured_seconds=1e-3
     )
     assert "speed-of-light" in line and "bound=" in line
+
+
+def test_profiling_metrics_counters():
+    """SURVEY §5 observability: a proof run produces structured metrics —
+    phase timers plus dispatch / d2h-transfer counters — and a valid JSON
+    metrics line (the `prove --profile` output)."""
+    import json
+
+    from toyni_tpu import profiling
+    from toyni_tpu.field.babybear import P
+    from toyni_tpu.prover import StarkProver
+    from toyni_tpu.trace import ExecutionTrace
+
+    profiling.metrics(reset=True)  # clean slate
+    fibs, a, b = [], 1, 1
+    for _ in range(64):
+        fibs.append(a % P)
+        a, b = b, (a + b) % P
+    t = ExecutionTrace()
+    t.insert_column(fibs)
+    StarkProver(t, seed=3).generate_proof()
+
+    m = profiling.metrics()
+    assert m["counters"].get("dispatches", 0) > 0
+    assert m["counters"].get("d2h_bytes", 0) > 0
+    assert any(k.startswith("commit") for k in m["phases"])
+    line = json.loads(profiling.metrics_line())  # resets
+    assert "toyni_metrics" in line
+    assert line["toyni_metrics"]["dispatches"] > 0
+    assert profiling.metrics()["counters"] == {}

@@ -52,3 +52,51 @@ def test_two_process_prover_byte_identical():
     for i, (w, out) in enumerate(zip(workers, outs)):
         assert w.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
         assert f"MULTIHOST_OK {i}" in out, f"worker {i} output:\n{out[-4000:]}"
+
+
+def test_dead_peer_times_out_with_clear_error():
+    """Failure detection (SURVEY §5): forming a process group with a peer
+    that never shows up must surface a CLEAR error within the configured
+    timeout instead of hanging (jax's default wait is 300 s). Depending on
+    the jax version the coordination client either raises (catchable) or
+    LOG(FATAL)s with DEADLINE_EXCEEDED — both are prompt, diagnosable
+    failures; an indefinite hang is the bug this guards against. Runs in a
+    subprocess because jax.distributed.initialize mutates process-global
+    state (and may abort the process)."""
+    import socket
+    import time
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    code = (
+        "from toyni_tpu.parallel import multihost\n"
+        "try:\n"
+        f"    multihost.initialize('127.0.0.1:{port}', num_processes=2,\n"
+        "                          process_id=0, timeout_s=5)\n"
+        "except Exception as e:\n"
+        "    print('TIMEOUT_ERROR', type(e).__name__)\n"
+        "else:\n"
+        "    print('UNEXPECTED_SUCCESS')\n"
+    )
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    t0 = time.monotonic()
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=_REPO,
+        capture_output=True, text=True, timeout=120,
+    )
+    elapsed = time.monotonic() - t0
+    assert "UNEXPECTED_SUCCESS" not in out.stdout
+    clear_error = (
+        "TIMEOUT_ERROR" in out.stdout
+        or "DEADLINE_EXCEEDED" in out.stderr
+        or "Deadline Exceeded" in out.stderr
+    )
+    assert clear_error, (
+        f"expected a prompt timeout error, got:\n"
+        f"{out.stdout}\n{out.stderr[-2000:]}"
+    )
+    assert elapsed < 90, f"dead peer took {elapsed:.0f}s to surface"

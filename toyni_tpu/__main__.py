@@ -78,6 +78,9 @@ def cmd_prove(args) -> int:
     print(f"proved {args.rows} rows in {dt:.2f}s -> {args.out} ({len(blob)} bytes)")
     if args.profile:
         print(profiling.format_report())
+        # machine-readable per-proof metrics (phase seconds + dispatch /
+        # transfer counters) as one JSON line
+        print(profiling.metrics_line())
     return 0
 
 

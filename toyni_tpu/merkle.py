@@ -109,13 +109,15 @@ class DeviceTree:
     memory, src/merkle.rs:10-13 — here a query opening is a handful of
     device gathers instead of a full-tree transfer).
 
-    Two storage layouts: row-major levels of shape (n_i, 8) (jnp hashing
-    path) or planar levels of shape (8, n_i) (Pallas kernel path)."""
+    Levels are row-major (n_i, 8) uint32 digest arrays, bottom-up. (A planar
+    (8, n_i) Pallas-kernel layout existed in round 1 and was RETIRED with its
+    kernels: the Mosaic SHA-256 measured ~12x slower than the XLA unrolled
+    path on v5e — ~2 vs ~24 Mhash/s at 2^21 rolled, 280 unrolled — because
+    the 64-round serial dependency chain does not pipeline under Mosaic; see
+    PERF.md "SHA-256 / Merkle".)"""
 
-    def __init__(self, levels: list, planar: bool = False,
-                 has_leaf_level: bool = True):
+    def __init__(self, levels: list, has_leaf_level: bool = True):
         self.levels = levels
-        self.planar = planar
         # Huge trees drop the stored leaf-digest level (1 GB at 2^25 leaves);
         # query-time sibling leaf digests are recomputed from value + salt.
         self.has_leaf_level = has_leaf_level
@@ -123,7 +125,7 @@ class DeviceTree:
 
     @property
     def num_leaves(self) -> int:
-        base = self.levels[0].shape[1 if self.planar else 0]
+        base = self.levels[0].shape[0]
         return base if self.has_leaf_level else 2 * base
 
     @property
@@ -133,25 +135,10 @@ class DeviceTree:
 
     def root(self) -> bytes:
         if self._root is None:
-            top = self.levels[-1][:, 0] if self.planar else self.levels[-1][0]
-            self._root = sha.digest_bytes(np.asarray(top, np.uint32))
+            self._root = sha.digest_bytes(
+                np.asarray(self.levels[-1][0], np.uint32)
+            )
         return self._root
-
-
-def _use_pallas(values) -> bool:
-    """Opt-in (TOYNI_PALLAS_SHA=1): on the current Mosaic toolchain the SHA
-    kernels measure ~12x slower than the XLA fori_loop path on v5e (~2 vs ~24
-    Mhash/s at 2^21 — the 64-round dependency chain does not pipeline the way
-    the same program does under XLA). Kernels are correct (hashlib-verified
-    on device); kept for the next tuning round."""
-    import os
-
-    if os.environ.get("TOYNI_PALLAS_SHA") != "1":
-        return False
-    try:
-        return next(iter(values.devices())).platform == "tpu"
-    except Exception:
-        return False
 
 
 # trees at or above this leaf count drop the stored leaf level
@@ -184,13 +171,6 @@ def _tree_builder(n_leaves: int, salted: bool, ext: bool = False):
 
 
 def build_salted_device_tree(values: jnp.ndarray, salts, ext: bool = False) -> DeviceTree:
-    if (not ext and _use_pallas(values)
-            and values.shape[0] & (values.shape[0] - 1) == 0):
-        from .ops import sha256_pallas as shp
-
-        sw = shp.salts_to_words(np.asarray(salts, np.uint8))
-        digests = shp.hash_salted_leaves_planar(values, jnp.asarray(sw))
-        return DeviceTree(_device_levels_planar(digests), planar=True)
     fn = _tree_builder(values.shape[0], True, ext)
     return DeviceTree(
         fn(values, jnp.asarray(salts)),
@@ -199,12 +179,6 @@ def build_salted_device_tree(values: jnp.ndarray, salts, ext: bool = False) -> D
 
 
 def build_unsalted_device_tree(values: jnp.ndarray, ext: bool = False) -> DeviceTree:
-    if (not ext and _use_pallas(values)
-            and values.shape[0] & (values.shape[0] - 1) == 0):
-        from .ops import sha256_pallas as shp
-
-        digests = shp.hash_unsalted_leaves_planar(values)
-        return DeviceTree(_device_levels_planar(digests), planar=True)
     fn = _tree_builder(values.shape[0], False, ext)
     return DeviceTree(fn(values), has_leaf_level=True)
 
@@ -220,19 +194,7 @@ def _device_levels(leaf_digests: jnp.ndarray) -> list:
     return levels
 
 
-def _device_levels_planar(leaf_digests: jnp.ndarray) -> list:
-    """Planar (8, n) levels via the Pallas node kernel (power-of-two only)."""
-    from .ops import sha256_pallas as shp
-
-    levels = [leaf_digests]
-    cur = leaf_digests
-    while cur.shape[1] > 1:
-        cur = shp.hash_nodes_planar(cur[:, 0::2], cur[:, 1::2])
-        levels.append(cur)
-    return levels
-
-
-def extract_paths(levels: list, indices: jnp.ndarray, planar: bool = False) -> jnp.ndarray:
+def extract_paths(levels: list, indices: jnp.ndarray) -> jnp.ndarray:
     """Device gather of sibling paths for power-of-two trees.
 
     indices: (Q,) int32. Returns (Q, depth, 8) uint32 sibling digests,
@@ -240,10 +202,7 @@ def extract_paths(levels: list, indices: jnp.ndarray, planar: bool = False) -> j
     idx = jnp.asarray(indices, jnp.int32)
     out = []
     for level in levels[:-1]:
-        if planar:
-            out.append(jnp.take(level, idx ^ 1, axis=1).T)
-        else:
-            out.append(jnp.take(level, idx ^ 1, axis=0))
+        out.append(jnp.take(level, idx ^ 1, axis=0))
         idx = idx >> 1
     return jnp.stack(out, axis=1)
 

@@ -169,19 +169,6 @@ def ntt_axis0(x2d: jnp.ndarray, twiddles: tuple) -> jnp.ndarray:
     return v.reshape(n1, B)
 
 
-def _stage_tables_full_np(n1: int, omega: int) -> np.ndarray:
-    """(log_n1, n1) matrix for the Pallas roll kernel: row s-1 holds
-    w_s[i & (half-1)] for every row i (Montgomery form)."""
-    log_n = n1.bit_length() - 1
-    tabs = _twiddle_tables_np(n1, omega)
-    out = np.empty((log_n, n1), np.uint32)
-    idx = np.arange(n1)
-    for s in range(1, log_n + 1):
-        half = 1 << (s - 1)
-        out[s - 1] = np.asarray(tabs[s - 1])[idx & (half - 1)]
-    return out
-
-
 @functools.lru_cache(maxsize=32)
 def _four_step_tables(n: int, omega: int):
     """(n1, n2, col twiddle tuple, row twiddle tuple, W matrix) for the
@@ -217,8 +204,6 @@ def _four_step_tables_dev(n: int, omega: int):
             tuple(jnp.asarray(t) for t in col),
             tuple(jnp.asarray(t) for t in row),
             jnp.asarray(W),
-            jnp.asarray(_stage_tables_full_np(n1, pow(omega, n2, P))),
-            jnp.asarray(_stage_tables_full_np(n2, pow(omega, n1, P))),
         )
 
 
@@ -286,43 +271,9 @@ def _mxu_ntt_enabled() -> bool:
     return _mxu_ntt_variant() > 0
 
 
-_PALLAS_NTT = None
-
-
-def _pallas_ntt_enabled() -> bool:
-    """Opt-in (TOYNI_PALLAS_NTT=1) fused-stage Mosaic kernel for the
-    four-step passes on TPU. EXPERIMENTAL — measured end to end it currently
-    LOSES to the XLA per-stage path at 2^24 (the fused twiddle multiply at
-    TB=256 hits a Mosaic scoped-vmem spill: 51 ms/half vs 2.9 unfused, and
-    TB=128 fails scoped-vmem allocation outright inside larger jits; see
-    PERF.md "roll kernel"). Default path is XLA until the kernel wins."""
-    global _PALLAS_NTT
-    if _PALLAS_NTT is None:
-        import os
-
-        if os.environ.get("TOYNI_PALLAS_NTT") != "1":
-            _PALLAS_NTT = False
-        else:
-            try:
-                _PALLAS_NTT = any(x.platform == "tpu" for x in jax.devices())
-            except Exception:
-                _PALLAS_NTT = False
-    if not _PALLAS_NTT:
-        return False
-    # Re-checked per call: a CPU-pinned default device (tests, bench's CPU
-    # comparison leg) must take the XLA path even though a TPU exists.
-    try:
-        d = jax.config.jax_default_device
-        return d is None or d.platform == "tpu"
-    except Exception:
-        return True
-
-
 def four_step_apply(values: jnp.ndarray, tabs) -> jnp.ndarray:
-    """Apply a four-step transform given its tables (see `ntt_tables`).
-
-    Table formats: (colt, rowt, W) for the XLA DIT path; the 5-tuple adds
-    (twc, twr) full-height stage tables for the opt-in Pallas roll kernel.
+    """Apply a four-step transform given its (colt, rowt, W) tables (see
+    `ntt_tables`).
 
     A DIF (decimation-in-frequency) formulation was tried and REVERTED: it
     removes both bit-reverse input gathers, but measured at 2^24 on v5e the
@@ -335,18 +286,6 @@ def four_step_apply(values: jnp.ndarray, tabs) -> jnp.ndarray:
     colt, rowt, W = tabs[0], tabs[1], tabs[2]
     n1, n2 = W.shape
     x2d = values.reshape(n1, n2)
-    if len(tabs) == 5 and _pallas_ntt_enabled():
-        from .ntt_pallas import _ntt_axis0_roll_nobitrev
-
-        tw_col, tw_row = tabs[3], tabs[4]
-        xb = jnp.take(x2d, jnp.asarray(_bitrev(n1)), axis=0)
-        # W multiply stays an XLA elementwise (fuses into the transpose
-        # gather): fusing it into the kernel at TB=256 trips a Mosaic
-        # scoped-vmem spill that costs 17x kernel time (PERF.md).
-        a = bb.mont_mul(_ntt_axis0_roll_nobitrev(xb, tw_col), W)
-        ab = jnp.take(a.T, jnp.asarray(_bitrev(n2)), axis=0)
-        c = _ntt_axis0_roll_nobitrev(ab, tw_row, fuse_w=False)
-        return c.reshape(n1 * n2)
     a = ntt_axis0(x2d, colt)              # column DFTs, n2-wide lanes
     a = bb.mont_mul(a, W)                 # twiddle correction
     c = ntt_axis0(a.T, rowt)              # row DFTs, n1-wide lanes
@@ -365,8 +304,8 @@ def ntt_tables(size: int, omega: int):
             if _mxu_ntt_variant() == 2:
                 return mxu_ntt_tables_t(size, omega)
             return mxu_ntt_tables(size, omega)
-        _, _, colt, rowt, W, twc, twr = _four_step_tables_dev(size, omega)
-        return (colt, rowt, W, twc, twr)
+        _, _, colt, rowt, W = _four_step_tables_dev(size, omega)
+        return (colt, rowt, W)
     return _twiddle_tables(size, omega)
 
 
@@ -419,20 +358,6 @@ def ntt_batched(values: jnp.ndarray, tabs, size: int) -> jnp.ndarray:
     Bsz = values.shape[0]
     x3 = values.reshape(Bsz, n1, n2)
     xt = jnp.transpose(x3, (1, 0, 2)).reshape(n1, Bsz * n2)
-    if len(tabs) == 5 and _pallas_ntt_enabled():
-        # Fused-stage Mosaic kernel on the batch-widened lanes (same kernels
-        # as the single-proof path; the W multiply stays an XLA elementwise
-        # because W broadcasts over the batch axis).
-        from .ntt_pallas import _ntt_axis0_roll_nobitrev
-
-        tw_col, tw_row = tabs[3], tabs[4]
-        xb = jnp.take(xt, jnp.asarray(_bitrev(n1)), axis=0)
-        a = _ntt_axis0_roll_nobitrev(xb, tw_col).reshape(n1, Bsz, n2)
-        a = bb.mont_mul(a, W[:, None, :])
-        at = jnp.transpose(a, (2, 1, 0)).reshape(n2, Bsz * n1)
-        ab = jnp.take(at, jnp.asarray(_bitrev(n2)), axis=0)
-        c = _ntt_axis0_roll_nobitrev(ab, tw_row).reshape(n2, Bsz, n1)
-        return jnp.transpose(c, (1, 0, 2)).reshape(Bsz, n1 * n2)
     a = ntt_axis0(xt, colt).reshape(n1, Bsz, n2)
     a = bb.mont_mul(a, W[:, None, :])
     at = jnp.transpose(a, (2, 1, 0)).reshape(n2, Bsz * n1)

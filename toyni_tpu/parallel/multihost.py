@@ -38,17 +38,27 @@ from .mesh import AXIS
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None,
-               local_device_ids=None) -> None:
+               local_device_ids=None,
+               timeout_s: float | None = None) -> None:
     """Join (or create) a jax.distributed process group.
 
     On TPU pods all arguments come from the runtime environment and may be
     omitted; for CPU-based multi-host simulation pass them explicitly
-    (coordinator = "host:port" of process 0)."""
+    (coordinator = "host:port" of process 0).
+
+    `timeout_s` bounds the group formation: a dead or unreachable peer then
+    surfaces as a RAISED error after the timeout instead of an indefinite
+    hang (jax's default is 300 s) — the failure-detection story for
+    multi-host launches, tested in tests/test_multihost.py."""
+    kwargs = {}
+    if timeout_s is not None:
+        kwargs["initialization_timeout"] = int(timeout_s)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
         local_device_ids=local_device_ids,
+        **kwargs,
     )
 
 

@@ -64,21 +64,6 @@ _U32 = jnp.uint32
 _DEFAULT_AIR = FibonacciAir()
 
 
-def _pow_traced(base, e: int):
-    """base^e for a traced u32 scalar and static int e (square-multiply)."""
-    result = jnp.uint32(1)
-    sq = base
-    first = True
-    while e > 0:
-        if e & 1:
-            result = sq if first else bb.mul(result, sq)
-            first = False
-        e >>= 1
-        if e > 0:
-            sq = bb.mul(sq, sq)
-    return jnp.uint32(1) if first else result
-
-
 def _local_levels(leaves: jnp.ndarray) -> list:
     """All levels of a (m, 8) digest block, bottom-up, including the input."""
     levels = [leaves]
@@ -130,7 +115,7 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
 
     mesh = make_mesh(D)
     plan = ntt_dist.plan_tables(N, D, shifted.omega)
-    shift_fwd, shift_bwd = ntt_dist.shift_tables_np(N, cfg.coset_shift)
+    shift_fwd, _shift_bwd_unused = ntt_dist.shift_tables_np(N, cfg.coset_shift)
 
     x_np = shifted.elements_np().astype(np.uint32)
     x_cyc = to_cyclic_np(x_np, D)
@@ -187,36 +172,30 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
     if not multi:
         # ── phase 1 (reference shape): fused trace + quotient commit ──────
         def commit_local(trace_col, r_mask, trace_salts, quot_salts,
-                         x_loc, zh_loc, shiftf_loc, W_loc, W_inv_loc,
-                         shiftb_loc):
+                         x_loc, zh_loc, shiftf_loc, W_loc):
             x_loc, zh_loc = x_loc[0], zh_loc[0]
             trace_salts, quot_salts = trace_salts[0], quot_salts[0]
-            that_loc, trace_lde = _column_lde(trace_col, r_mask,
-                                              shiftf_loc, W_loc)
+            _that_loc, trace_lde = _column_lde(trace_col, r_mask,
+                                               shiftf_loc, W_loc)
             t_rolls = [
                 jnp.roll(trace_lde, -s * (B // D)) for s in range(ns)
             ]
             c_evals = air.constraint_lde(t_rolls, x_loc, g, n)
             q_evals = bb.mont_mul(c_evals, zh_loc)
-            q_coeffs_loc = ntt_dist.coset_ifft_local(
-                q_evals, shiftb_loc, W_inv_loc, plan
-            )
             t_lo, t_top = _commit_with_levels(trace_lde, trace_salts)
             q_lo, q_top = _commit_with_levels(q_evals, quot_salts)
             return dict(
-                that_loc=that_loc,
                 trace_lde=trace_lde[None],
                 q_evals=q_evals[None],
-                q_coeffs_loc=q_coeffs_loc,
                 t_lo=t_lo, t_top=t_top, q_lo=q_lo, q_top=q_top,
             )
 
         fns["commit"] = jax.jit(jax.shard_map(
             commit_local, mesh=mesh,
             in_specs=(rep, rep, cyc, cyc, cyc, cyc, blk,
-                      Pspec(None, AXIS), Pspec(None, AXIS), blk),
+                      Pspec(None, AXIS)),
             out_specs=dict(
-                that_loc=blk, trace_lde=cyc, q_evals=cyc, q_coeffs_loc=blk,
+                trace_lde=cyc, q_evals=cyc,
                 t_lo=lo_specs, t_top=top_specs, q_lo=lo_specs,
                 q_top=top_specs,
             ),
@@ -227,17 +206,14 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
         def commit_trace_local(trace_cols, r_masks, trace_salts,
                                shiftf_loc, W_loc):
             trace_salts = trace_salts[0]
-            thats, ldes = [], []
+            ldes = []
             for c in range(k):
-                that_loc, lde = _column_lde(trace_cols[c], r_masks[c],
-                                            shiftf_loc, W_loc)
-                thats.append(that_loc)
+                _that_loc, lde = _column_lde(trace_cols[c], r_masks[c],
+                                             shiftf_loc, W_loc)
                 ldes.append(lde)
-            that_k = jnp.stack(thats)                # (k, mloc) block
             lde_k = jnp.stack(ldes)                  # (k, mloc) cyclic rows
             t_lo, t_top = _commit_with_levels(lde_k, trace_salts, "multi")
             return dict(
-                that_loc=that_k,
                 trace_lde=jnp.moveaxis(lde_k, 0, -1)[None],  # (1, mloc, k)
                 t_lo=t_lo, t_top=t_top,
             )
@@ -246,14 +222,14 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
             commit_trace_local, mesh=mesh,
             in_specs=(rep, rep, cyc, blk, Pspec(None, AXIS)),
             out_specs=dict(
-                that_loc=blk, trace_lde=cyc,
+                trace_lde=cyc,
                 t_lo=lo_specs, t_top=top_specs,
             ),
             check_vma=False,
         ))
 
         def commit_quot_local(trace_lde, quot_salts, alphas,
-                              x_loc, zh_loc, W_inv_loc, shiftb_loc):
+                              x_loc, zh_loc):
             lde_k = jnp.moveaxis(trace_lde[0], -1, 0)    # (k, mloc)
             quot_salts = quot_salts[0]
             x_loc, zh_loc = x_loc[0], zh_loc[0]
@@ -267,100 +243,127 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
             else:
                 c_evals = air.constraint_lde(t_views, x_loc, g, n)
             q_evals = bb.mont_mul(c_evals, zh_loc)
-            q_coeffs_loc = ntt_dist.coset_ifft_local(
-                q_evals, shiftb_loc, W_inv_loc, plan
-            )
             q_lo, q_top = _commit_with_levels(q_evals, quot_salts)
             return dict(
-                q_evals=q_evals[None], q_coeffs_loc=q_coeffs_loc,
+                q_evals=q_evals[None],
                 q_lo=q_lo, q_top=q_top,
             )
 
         fns["commit_quot"] = jax.jit(jax.shard_map(
             commit_quot_local, mesh=mesh,
-            in_specs=(cyc, cyc, rep, cyc, cyc, Pspec(None, AXIS), blk),
+            in_specs=(cyc, cyc, rep, cyc, cyc),
             out_specs=dict(
-                q_evals=cyc, q_coeffs_loc=blk,
+                q_evals=cyc,
                 q_lo=lo_specs, q_top=top_specs,
             ),
             check_vma=False,
         ))
 
-    # ── OOD evaluation (local block dots + gather of partials) ─────────────
-    # Base-field: partial = (sum_t c_{d*mloc+t} pt^t) * pt^(d*mloc), summed
-    # over shards. Ext: same split with ext powers (coefficients stay base).
-    def _ood_partial(coeffs_loc, pt):
-        d = jax.lax.axis_index(AXIS)
-        pw = bb.powers_traced(pt, mloc, mont=True)
-        local = bb.sum_mod(bb.mont_mul(coeffs_loc, pw))
-        factor = bb.powers_traced(_pow_traced(pt, mloc), D)[d]
-        return bb.mul(local, factor)
+    # ── OOD evaluation: barycentric from the cyclic eval vectors ───────────
+    # For evals v_i of a degree-<N polynomial on the coset {x_i = h omega^i}:
+    #   p(z) = (z^N - h^N)/(N h^N) * sum_i x_i v_i / (z - x_i)
+    # T(g^s z) is the same formula over roll(lde, -s*blowup) (the eval vector
+    # of T(g^s x)), so every OOD value shares ONE denominator inversion per
+    # shard — returned cyclic and reused by the DEEP quotient. The partials
+    # are exact mod-p sums, so shard order is irrelevant (one all-gather).
+    h_N = pow(cfg.coset_shift, N, P)
+    NhN_inv = pow(N * h_N % P, P - 2, P)
 
-    def _ood_partial_ext(coeffs_loc, z4):
-        d = jax.lax.axis_index(AXIS)
-        local = extf.eval_poly_base_coeffs(coeffs_loc, z4)       # (4,)
-        zM = extf.pow_const(z4[None, :], mloc)[0]                # z^mloc
-        factor = extf.powers_traced(zM, D)[d]                    # z^(d*mloc)
-        return extf.mul(local, factor)
+    def _bary_pref(z):
+        return bb.mul_const(
+            bb.sub(bb.pow_const(z, N), jnp.uint32(h_N)), NhN_inv
+        )
+
+    def _bary_ext_setup(x_loc, z4):
+        zero = jnp.zeros_like(x_loc)
+        x_minus_z = jnp.stack(
+            [bb.sub(x_loc, z4[0])] + [bb.sub(zero, z4[j]) for j in (1, 2, 3)],
+            axis=-1,
+        )
+        inv_xz = extf.inv_fast(x_minus_z)        # (mloc, 4)
+        w = extf.mul_base(inv_xz, x_loc)         # x_i/(x_i - z) ext
+        zN = extf.pow_const(z4[None, :], N)[0]
+        hN4 = jnp.asarray(np.array([h_N, 0, 0, 0], np.uint32))
+        pref = bb.mul_const(extf.sub(zN, hN4), NhN_inv)   # (4,)
+        return inv_xz, w, pref
 
     if not multi:
         if ext:
-            def ood_local(that_loc, q_coeffs_loc, z, gz, ggz):
-                part = jnp.stack([
-                    _ood_partial_ext(that_loc, z),
-                    _ood_partial_ext(that_loc, gz),
-                    _ood_partial_ext(that_loc, ggz),
-                    _ood_partial_ext(q_coeffs_loc, z),
+            def ood_local(trace_lde, q_evals, x_loc, z4):
+                trace_lde, q_evals = trace_lde[0], q_evals[0]
+                inv_xz, w, pref = _bary_ext_setup(x_loc[0], z4)
+                parts = jnp.stack([
+                    bb.sum_mod(extf.mul_base(w, trace_lde), axis=0),
+                    bb.sum_mod(extf.mul_base(
+                        w, jnp.roll(trace_lde, -(B // D))), axis=0),
+                    bb.sum_mod(extf.mul_base(
+                        w, jnp.roll(trace_lde, -2 * (B // D))), axis=0),
+                    bb.sum_mod(extf.mul_base(w, q_evals), axis=0),
                 ])  # (4, 4)
-                allp = jax.lax.all_gather(part, AXIS, axis=0)  # (D, 4, 4)
-                return bb.sum_mod(allp, axis=0)
-
-            ood_in = (blk, blk, rep, rep, rep)
+                allp = jax.lax.all_gather(parts, AXIS, axis=0)
+                ssum = bb.sum_mod(allp, axis=0)            # (4, 4)
+                vals = extf.mul(pref[None, :],
+                                bb.sub(jnp.uint32(0), ssum))
+                return vals, inv_xz[None]
         else:
-            def ood_local(that_loc, q_coeffs_loc, z, gz, ggz):
-                part = jnp.stack([
-                    _ood_partial(that_loc, z),
-                    _ood_partial(that_loc, gz),
-                    _ood_partial(that_loc, ggz),
-                    _ood_partial(q_coeffs_loc, z),
+            def ood_local(trace_lde, q_evals, x_loc, z):
+                trace_lde, q_evals, x_loc = trace_lde[0], q_evals[0], x_loc[0]
+                inv_xz = bb.inv(bb.sub(x_loc, z))
+                w = bb.mul(x_loc, inv_xz)
+                parts = jnp.stack([
+                    bb.sum_mod(bb.mul(trace_lde, w)),
+                    bb.sum_mod(bb.mul(jnp.roll(trace_lde, -(B // D)), w)),
+                    bb.sum_mod(bb.mul(jnp.roll(trace_lde, -2 * (B // D)), w)),
+                    bb.sum_mod(bb.mul(q_evals, w)),
                 ])  # (4,)
-                allp = jax.lax.all_gather(part, AXIS, axis=0)  # (D, 4)
-                return bb.sum_mod(allp, axis=0)
-
-            ood_in = (blk, blk, rep, rep, rep)
-        fns["ood"] = jax.jit(jax.shard_map(
-            ood_local, mesh=mesh, in_specs=ood_in, out_specs=rep,
-            check_vma=False,
-        ))
+                allp = jax.lax.all_gather(parts, AXIS, axis=0)  # (D, 4)
+                ssum = bb.sum_mod(allp, axis=0)
+                vals = bb.mul(_bary_pref(z), bb.sub(jnp.uint32(0), ssum))
+                return vals, inv_xz[None]
     else:
-        # pts: (ns,) base points or (ns, 4) ext points
         if ext:
-            def ood_multi_local(that_loc, q_coeffs_loc, pts):
+            def ood_local(trace_lde, q_evals, x_loc, z4):
+                lde_k = jnp.moveaxis(trace_lde[0], -1, 0)   # (k, mloc)
+                q_evals = q_evals[0]
+                inv_xz, w, pref = _bary_ext_setup(x_loc[0], z4)
                 rows = []
                 for s in range(ns):
+                    rolled = jnp.roll(lde_k, -s * (B // D), axis=1)
                     for c in range(k):
-                        rows.append(_ood_partial_ext(that_loc[c], pts[s]))
-                rows.append(_ood_partial_ext(q_coeffs_loc, pts[0]))
-                part = jnp.stack(rows)  # (ns*k+1, 4)
-                allp = jax.lax.all_gather(part, AXIS, axis=0)
-                return bb.sum_mod(allp, axis=0)
+                        rows.append(bb.sum_mod(
+                            extf.mul_base(w, rolled[c]), axis=0))
+                rows.append(bb.sum_mod(extf.mul_base(w, q_evals), axis=0))
+                parts = jnp.stack(rows)  # (ns*k+1, 4)
+                allp = jax.lax.all_gather(parts, AXIS, axis=0)
+                ssum = bb.sum_mod(allp, axis=0)
+                vals = extf.mul(pref[None, :],
+                                bb.sub(jnp.uint32(0), ssum))
+                return vals, inv_xz[None]
         else:
-            def ood_multi_local(that_loc, q_coeffs_loc, pts):
+            def ood_local(trace_lde, q_evals, x_loc, z):
+                lde_k = jnp.moveaxis(trace_lde[0], -1, 0)   # (k, mloc)
+                q_evals, x_loc = q_evals[0], x_loc[0]
+                inv_xz = bb.inv(bb.sub(x_loc, z))
+                w = bb.mul(x_loc, inv_xz)
                 rows = []
                 for s in range(ns):
+                    rolled = jnp.roll(lde_k, -s * (B // D), axis=1)
                     for c in range(k):
-                        rows.append(_ood_partial(that_loc[c], pts[s]))
-                rows.append(_ood_partial(q_coeffs_loc, pts[0]))
-                part = jnp.stack(rows)  # (ns*k+1,)
-                allp = jax.lax.all_gather(part, AXIS, axis=0)
-                return bb.sum_mod(allp, axis=0)
+                        rows.append(bb.sum_mod(bb.mul(rolled[c], w)))
+                rows.append(bb.sum_mod(bb.mul(q_evals, w)))
+                parts = jnp.stack(rows)  # (ns*k+1,)
+                allp = jax.lax.all_gather(parts, AXIS, axis=0)
+                ssum = bb.sum_mod(allp, axis=0)
+                vals = bb.mul(_bary_pref(z), bb.sub(jnp.uint32(0), ssum))
+                return vals, inv_xz[None]
 
-        fns["ood"] = jax.jit(jax.shard_map(
-            ood_multi_local, mesh=mesh, in_specs=(blk, blk, rep),
-            out_specs=rep, check_vma=False,
-        ))
+    fns["ood"] = jax.jit(jax.shard_map(
+        ood_local, mesh=mesh, in_specs=(cyc, cyc, cyc, rep),
+        out_specs=(rep, cyc), check_vma=False,
+    ))
 
-    # ── DEEP quotient (fully local in cyclic layout) ───────────────────────
+    # ── DEEP quotient (fully local in cyclic layout; reuses the OOD
+    # phase's 1/(x - z) inversion) ──────────────────────────────────────────
     def _deep_num_base(trace_lde, q_evals, oodv):
         """Base numerator sum for the reference shape (3 shifts, 1 col)."""
         num = bb.sub(q_evals, oodv[3])
@@ -369,13 +372,13 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
         return bb.add(num, bb.sub(trace_lde, oodv[0]))
 
     if not multi and not ext:
-        def deep_local(trace_lde, q_evals, oodv, z, x_loc):
-            trace_lde, q_evals, x_loc = trace_lde[0], q_evals[0], x_loc[0]
+        def deep_local(trace_lde, q_evals, oodv, inv_xz):
+            trace_lde, q_evals = trace_lde[0], q_evals[0]
             num = _deep_num_base(trace_lde, q_evals, oodv)
-            return bb.mul(num, bb.inv(bb.sub(x_loc, z)))[None]
+            return bb.mul(num, inv_xz[0])[None]
     elif not multi and ext:
-        def deep_local(trace_lde, q_evals, oodv, z4, x_loc):
-            trace_lde, q_evals, x_loc = trace_lde[0], q_evals[0], x_loc[0]
+        def deep_local(trace_lde, q_evals, oodv, inv_xz):
+            trace_lde, q_evals = trace_lde[0], q_evals[0]
             base_sum = bb.add(
                 bb.add(q_evals, jnp.roll(trace_lde, -2 * (B // D))),
                 bb.add(jnp.roll(trace_lde, -(B // D)), trace_lde),
@@ -387,26 +390,21 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
                 + [bb.sub(zero, ood_sum[j]) for j in (1, 2, 3)],
                 axis=-1,
             )
-            x_minus_z = jnp.stack(
-                [bb.sub(x_loc, z4[0])]
-                + [bb.sub(zero, z4[j]) for j in (1, 2, 3)],
-                axis=-1,
-            )
-            return extf.mul(num, extf.inv_fast(x_minus_z))[None]
+            return extf.mul(num, inv_xz[0])[None]
     elif multi and not ext:
-        def deep_local(trace_lde, q_evals, oodv, z, x_loc):
+        def deep_local(trace_lde, q_evals, oodv, inv_xz):
             lde_k = jnp.moveaxis(trace_lde[0], -1, 0)  # (k, mloc)
-            q_evals, x_loc = q_evals[0], x_loc[0]
+            q_evals = q_evals[0]
             num = bb.sub(q_evals, oodv[ns * k])
             for s in range(ns):
                 rolled = jnp.roll(lde_k, -s * (B // D), axis=1)
                 for c in range(k):
                     num = bb.add(num, bb.sub(rolled[c], oodv[s * k + c]))
-            return bb.mul(num, bb.inv(bb.sub(x_loc, z)))[None]
+            return bb.mul(num, inv_xz[0])[None]
     else:
-        def deep_local(trace_lde, q_evals, oodv, z4, x_loc):
+        def deep_local(trace_lde, q_evals, oodv, inv_xz):
             lde_k = jnp.moveaxis(trace_lde[0], -1, 0)
-            q_evals, x_loc = q_evals[0], x_loc[0]
+            q_evals = q_evals[0]
             base_sum = q_evals
             for s in range(ns):
                 rolled = jnp.roll(lde_k, -s * (B // D), axis=1)
@@ -419,16 +417,11 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
                 + [bb.sub(zero, ood_sum[j]) for j in (1, 2, 3)],
                 axis=-1,
             )
-            x_minus_z = jnp.stack(
-                [bb.sub(x_loc, z4[0])]
-                + [bb.sub(zero, z4[j]) for j in (1, 2, 3)],
-                axis=-1,
-            )
-            return extf.mul(num, extf.inv_fast(x_minus_z))[None]
+            return extf.mul(num, inv_xz[0])[None]
 
     fns["deep"] = jax.jit(jax.shard_map(
         deep_local, mesh=mesh,
-        in_specs=(cyc, cyc, rep, rep, cyc),
+        in_specs=(cyc, cyc, rep, cyc),
         out_specs=cyc, check_vma=False,
     ))
 
@@ -510,11 +503,12 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
 
     # explicit global shardings so every process contributes its addressable
     # shards (required in multi-process runs; a no-op placement single-process)
-    tspec = dict(x=cyc, zh=cyc, xs0=cyc, shiftf=blk, shiftb=blk,
-                 W=Pspec(None, AXIS), W_inv=Pspec(None, AXIS))
+    # (no inverse-NTT tables since round 2: the quotient never returns to
+    # coefficient space — OOD evaluation is barycentric from the evals)
+    tspec = dict(x=cyc, zh=cyc, xs0=cyc, shiftf=blk, W=Pspec(None, AXIS))
     traw = dict(
         x=x_cyc, zh=zh_inv_tile, xs0=xs_inv0, shiftf=shift_fwd,
-        shiftb=shift_bwd, W=plan["W"], W_inv=plan["W_inv"],
+        W=plan["W"],
     )
     tables = {
         kk: jax.device_put(jnp.asarray(v), NamedSharding(mesh, tspec[kk]))
@@ -783,21 +777,18 @@ class DistributedStarkProver:
                 jax.device_put(
                     jnp.asarray(np.array(alphas, np.uint32)), rep_sh
                 ),
-                tb["x"], tb["zh"], tb["W_inv"], tb["shiftb"],
+                tb["x"], tb["zh"],
             )
             quot_tree = _DistTree(out2["q_lo"], out2["q_top"],
                                   out2["q_evals"], quot_salts, mesh)
             quotient_root = quot_tree.root()
             transcript.absorb_commitment(quotient_root)
-            that_loc = out1["that_loc"]
             trace_lde = out1["trace_lde"]
             q_evals = out2["q_evals"]
-            q_coeffs_loc = out2["q_coeffs_loc"]
         else:
             out = fns["commit"](
                 trace_col, r_mask, trace_salts, quot_salts,
-                tb["x"], tb["zh"], tb["shiftf"], tb["W"], tb["W_inv"],
-                tb["shiftb"],
+                tb["x"], tb["zh"], tb["shiftf"], tb["W"],
             )
             trace_tree = _DistTree(out["t_lo"], out["t_top"],
                                    out["trace_lde"], trace_salts, mesh)
@@ -807,19 +798,17 @@ class DistributedStarkProver:
             quotient_root = quot_tree.root()
             transcript.absorb_commitment(trace_root)
             transcript.absorb_commitment(quotient_root)
-            that_loc = out["that_loc"]
             trace_lde = out["trace_lde"]
             q_evals = out["q_evals"]
-            q_coeffs_loc = out["q_coeffs_loc"]
             alphas = ()
 
         # ── z, OOD evaluations, constraint sanity, DEEP ────────────────────
         if ext:
             z = derive_z_ext(transcript, N, cfg.coset_shift)
             if multi:
-                pts_h = [extf.h_mul_base(z, pow(g, s, P)) for s in range(ns)]
-                pts = jnp.asarray(np.array(pts_h, np.uint32))  # (ns, 4)
-                ood_vec = fns["ood"](that_loc, q_coeffs_loc, pts)
+                ood_vec, inv_xz = fns["ood"](
+                    trace_lde, q_evals, tb["x"], jnp.asarray(z, jnp.uint32)
+                )
                 ood_np = np.asarray(ood_vec, np.uint64)        # (ns*k+1, 4)
                 ood_trace = tuple(
                     tuple(tuple(int(v) for v in ood_np[s * k + c])
@@ -844,16 +833,10 @@ class DistributedStarkProver:
                     for v in row:
                         transcript.absorb_ext(v)
                 transcript.absorb_ext(q_z)
-                z4 = jnp.asarray(z, jnp.uint32)
-                d_evals = fns["deep"](trace_lde, q_evals, ood_vec, z4,
-                                      tb["x"])
+                d_evals = fns["deep"](trace_lde, q_evals, ood_vec, inv_xz)
             else:
-                gz = extf.h_mul_base(z, g)
-                ggz = extf.h_mul_base(z, g * g % P)
-                ood_vec = fns["ood"](
-                    that_loc, q_coeffs_loc,
-                    jnp.asarray(z, jnp.uint32), jnp.asarray(gz, jnp.uint32),
-                    jnp.asarray(ggz, jnp.uint32),
+                ood_vec, inv_xz = fns["ood"](
+                    trace_lde, q_evals, tb["x"], jnp.asarray(z, jnp.uint32)
                 )
                 ood_np = np.asarray(ood_vec, np.uint64)  # (4, 4)
                 t_z, t_gz, t_ggz, q_z = (
@@ -867,17 +850,13 @@ class DistributedStarkProver:
                     )
                 for v in (t_z, t_gz, t_ggz, q_z):
                     transcript.absorb_ext(v)
-                d_evals = fns["deep"](
-                    trace_lde, q_evals, ood_vec,
-                    jnp.asarray(z, jnp.uint32), tb["x"],
-                )
+                d_evals = fns["deep"](trace_lde, q_evals, ood_vec, inv_xz)
         else:
             z = derive_z(transcript, N, cfg.coset_shift)
             if multi:
-                pts = jnp.asarray(np.array(
-                    [z * pow(g, s, P) % P for s in range(ns)], np.uint32
-                ))
-                ood_vec = fns["ood"](that_loc, q_coeffs_loc, pts)
+                ood_vec, inv_xz = fns["ood"](
+                    trace_lde, q_evals, tb["x"], jnp.uint32(z)
+                )
                 ood_np = np.asarray(ood_vec, np.uint64)
                 ood_trace = tuple(
                     tuple(int(ood_np[s * k + c]) for c in range(k))
@@ -900,13 +879,10 @@ class DistributedStarkProver:
                     for v in row:
                         transcript.absorb_field(v)
                 transcript.absorb_field(q_z)
-                d_evals = fns["deep"](trace_lde, q_evals, ood_vec,
-                                      jnp.uint32(z), tb["x"])
+                d_evals = fns["deep"](trace_lde, q_evals, ood_vec, inv_xz)
             else:
-                ood_vec = fns["ood"](
-                    that_loc, q_coeffs_loc,
-                    jnp.uint32(z), jnp.uint32(g * z % P),
-                    jnp.uint32(g * g % P * z % P),
+                ood_vec, inv_xz = fns["ood"](
+                    trace_lde, q_evals, tb["x"], jnp.uint32(z)
                 )
                 ood_np = np.asarray(ood_vec, np.uint64)
                 t_z, t_gz, t_ggz, q_z = (int(v) for v in ood_np)
@@ -917,9 +893,7 @@ class DistributedStarkProver:
                     )
                 for v in (t_z, t_gz, t_ggz, q_z):
                     transcript.absorb_field(v)
-                d_evals = fns["deep"](
-                    trace_lde, q_evals, ood_vec, jnp.uint32(z), tb["x"],
-                )
+                d_evals = fns["deep"](trace_lde, q_evals, ood_vec, inv_xz)
 
         # ── FRI ────────────────────────────────────────────────────────────
         fri_sizes, fri_trees, fri_commitments, fri_final_layer = (

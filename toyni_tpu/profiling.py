@@ -49,6 +49,41 @@ def report(reset: bool = False) -> dict:
     return out
 
 
+# ── structured counters (dispatches, transfer volume, …) ────────────────────
+
+_counters: dict = defaultdict(int)
+
+
+def incr(name: str, amount: int = 1) -> None:
+    """Bump a named counter (e.g. 'dispatches', 'd2h_bytes'). No-op when
+    profiling is disabled."""
+    if _enabled:
+        _counters[name] += amount
+
+
+def counters(reset: bool = False) -> dict:
+    out = dict(_counters)
+    if reset:
+        _counters.clear()
+    return out
+
+
+def metrics(reset: bool = False) -> dict:
+    """Structured snapshot: phase timers + counters, one dict."""
+    return {"phases": report(reset), "counters": counters(reset)}
+
+
+def metrics_line(reset: bool = True) -> str:
+    """One JSON line of per-proof metrics — the machine-readable
+    counterpart of `format_report` (emitted by `prove --profile`)."""
+    import json
+
+    m = metrics(reset)
+    flat = {f"s_{k}": round(v["seconds"], 4) for k, v in m["phases"].items()}
+    flat.update(m["counters"])
+    return json.dumps({"toyni_metrics": flat}, sort_keys=True)
+
+
 def format_report(reset: bool = False) -> str:
     rows = sorted(report(reset).items(), key=lambda kv: -kv[1]["seconds"])
     width = max((len(k) for k, _ in rows), default=8)

@@ -78,6 +78,33 @@ def _xs_inv0_dev(N: int, shift: int, omega: int) -> jnp.ndarray:
 _DEFAULT_AIR = FibonacciAir()
 
 
+def _wrap_counted(fns: dict) -> dict:
+    """Wrap every jitted phase callable so each invocation bumps the
+    'dispatches' profiling counter — the per-proof dispatch count is part of
+    the structured metrics line (`profiling.metrics_line`, CLI
+    `prove --profile`). Host-side bookkeeping only; no device effect."""
+    skip = {"tables", "x", "split_gathered"}
+
+    def counted(f):
+        def wrapper(*a, **kw):
+            profiling.incr("dispatches")
+            return f(*a, **kw)
+        return wrapper
+
+    for key, v in list(fns.items()):
+        if key not in skip and callable(v):
+            fns[key] = counted(v)
+    return fns
+
+
+def _d2h(x) -> np.ndarray:
+    """Materialize a device array on host, counting transfer volume into the
+    'd2h_bytes' profiling counter."""
+    arr = np.asarray(x)
+    profiling.incr("d2h_bytes", arr.nbytes)
+    return arr
+
+
 @functools.lru_cache(maxsize=8)
 def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
                ext: bool = False, final_size: int = 0, num_queries: int = 0):
@@ -100,21 +127,19 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
     g = domain.group_gen()
     m = L - n
     inv_om_n = pow(domain.omega, P - 2, P)
-    inv_om_N = pow(shifted.omega, P - 2, P)
-    shift_fwd, shift_bwd = _shift_tables(N, coset_shift)
+    shift_fwd, _shift_bwd_unused = _shift_tables(N, coset_shift)
     n_inv = pow(n, P - 2, P)
-    N_inv = pow(N, P - 2, P)
 
     # Every large constant rides into the jitted programs as an ARGUMENT —
     # closing over device arrays would bake them into the compiled program
     # (at 2^20 rows that is >500 MB of inline constants, more than this
     # deployment's remote compiler accepts, and a compile-time tax anywhere).
+    # No size-N inverse-transform tables since round 2: the quotient is never
+    # interpolated back to coefficients (barycentric OOD from the evals).
     tables = dict(
         trace_intt=ntt_tables(n, inv_om_n),
         fft=ntt_tables(N, shifted.omega),
-        ifft=ntt_tables(N, inv_om_N),
         shift_fwd=shift_fwd,
-        shift_bwd=shift_bwd,
         zh_tile=_zh_inv_tile_dev(n, N, coset_shift, shifted.omega),
         x=shifted.elements(),
     )
@@ -127,7 +152,13 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
 
     def commit(trace_col, r_mask, trace_salts, quot_salts, tb):
         """Phases 1-2 (fibonacci.rs:110-154) as one program: interpolate,
-        mask, coset LDE, constraint, quotient, and both Merkle trees."""
+        mask, coset LDE, constraint, quotient, and both Merkle trees.
+
+        No quotient IFFT: since round 2 the OOD evaluations are barycentric
+        from the already-materialized eval vectors (deg Q, deg T_hat < N, so
+        the interpolants are exact), which drops an entire N-point inverse
+        transform from every proof (the reference pays it at
+        fibonacci.rs:145-151 just to Horner-evaluate q_poly at z)."""
         t_coeffs = bb.mul_const(apply_ntt(trace_col, tb["trace_intt"], n), n_inv)
         t_pad = jnp.pad(t_coeffs, (0, L - n))
         r_low = jnp.pad(r_mask, (0, L - m))
@@ -143,10 +174,6 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         t_rolls = [jnp.roll(trace_lde, -k * blowup) for k in range(air.num_shifts)]
         c_evals = air.constraint_lde(t_rolls, tb["x"], g, n)
         q_evals = bb.mont_mul(c_evals, tb["zh_tile"])
-        q_coeffs = bb.mont_mul(
-            bb.mul_const(apply_ntt(q_evals, tb["ifft"], N), N_inv),
-            tb["shift_bwd"],
-        )
         quot_levels = _device_levels(
             sha.hash_salted_leaves(q_evals, quot_salts)
         )
@@ -154,28 +181,73 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
             trace_levels = trace_levels[1:]
             quot_levels = quot_levels[1:]
         return dict(
-            that=that,
             trace_lde=trace_lde,
             q_evals=q_evals,
-            q_coeffs=q_coeffs,
             trace_levels=trace_levels,
             quot_levels=quot_levels,
         )
 
-    def ood4(that, q_coeffs, z, gz, ggz):
-        def ev(coeffs, pt, ln):
-            return bb.sum_mod(bb.mont_mul(coeffs, bb.powers_traced(pt, ln, mont=True)))
+    # ── barycentric OOD machinery ──────────────────────────────────────────
+    # For evals v_i of a degree-<N polynomial on the coset {x_i = h omega^i}:
+    #   p(z) = (z^N - h^N)/(N h^N) * sum_i x_i v_i / (z - x_i)
+    # (weights w_i = 1/l'(x_i) = x_i/(N h^N) since l(z) = z^N - h^N).
+    # T(g^s z) comes free: roll(trace_lde, -s*blowup) is the eval vector of
+    # T(g^s x), so every OOD value shares ONE denominator inversion — which
+    # the DEEP quotient then reuses (it divides by the same x_i - z).
+    h_N = pow(coset_shift, N, P)
+    NhN_inv = pow(N * h_N % P, P - 2, P)
 
-        return jnp.stack(
-            [ev(that, z, L), ev(that, gz, L), ev(that, ggz, L), ev(q_coeffs, z, N)]
-        )
+    def _bary_pref(z):
+        """(z^N - h^N)/(N h^N) for a traced base scalar z."""
+        return bb.mul_const(bb.sub(bb.pow_const(z, N), jnp.uint32(h_N)), NhN_inv)
 
-    def deep(trace_lde, q_evals, x, ood, z):
+    def ood4(trace_lde, q_evals, x, z):
+        inv_xz = bb.inv(bb.sub(x, z))          # 1/(x_i - z), reused by DEEP
+        w = bb.mul(x, inv_xz)                  # x_i/(x_i - z)
+        pref = _bary_pref(z)
+        zero = jnp.uint32(0)
+
+        def ev(v):
+            s = bb.sum_mod(bb.mul(v, w))
+            return bb.mul(pref, bb.sub(zero, s))  # note 1/(z-x) = -1/(x-z)
+
+        vals = jnp.stack([
+            ev(trace_lde),
+            ev(jnp.roll(trace_lde, -blowup)),
+            ev(jnp.roll(trace_lde, -2 * blowup)),
+            ev(q_evals),
+        ])
+        return vals, inv_xz
+
+    def deep(trace_lde, q_evals, inv_xz, ood):
         num = bb.sub(q_evals, ood[3])
         num = bb.add(num, bb.sub(jnp.roll(trace_lde, -2 * blowup), ood[2]))
         num = bb.add(num, bb.sub(jnp.roll(trace_lde, -blowup), ood[1]))
         num = bb.add(num, bb.sub(trace_lde, ood[0]))
-        return bb.mul(num, bb.inv(bb.sub(x, z)))
+        return bb.mul(num, inv_xz)
+
+    def _bary_ext(x, z4):
+        """Shared ext barycentric setup: (inv_xz (N, 4) — reused by DEEP —
+        and ev(v) evaluating a base eval-vector at the ext point z)."""
+        from .field import ext as extf
+
+        zero = jnp.zeros_like(x)
+        x_minus_z = jnp.stack(
+            [bb.sub(x, z4[0])] + [bb.sub(zero, z4[j]) for j in (1, 2, 3)],
+            axis=-1,
+        )
+        inv_xz = extf.inv_fast(x_minus_z)
+        w = extf.mul_base(inv_xz, x)            # x_i/(x_i - z), ext
+        zN = extf.pow_const(z4[None, :], N)[0]
+        hN4 = jnp.asarray(np.array([h_N, 0, 0, 0], np.uint32))
+        pref = bb.mul_const(extf.sub(zN, hN4), NhN_inv)   # (4,)
+
+        def ev(v):
+            s = bb.sum_mod(extf.mul_base(w, v), axis=0)   # (4,)
+            neg_s = bb.sub(jnp.uint32(0), s)
+            return extf.mul(pref[None, :], neg_s[None, :])[0]
+
+        return inv_xz, ev
 
     def fold(current, xs_inv, beta):
         from .pipeline import _fold_traced
@@ -308,7 +380,7 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         def commit_trace(trace_cols, r_masks, trace_salts, tb):
             """trace_cols (k, n), r_masks (k, m) -> thats (k, L), LDE (k, N),
             one row-bundle tree (leaf = salt || v_0 || ... || v_{k-1})."""
-            thats, ldes = [], []
+            ldes = []
             for c in range(k):
                 t_coeffs = bb.mul_const(
                     apply_ntt(trace_cols[c], tb["trace_intt"], n), n_inv
@@ -321,14 +393,12 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
                 ldes.append(
                     apply_ntt(bb.mont_mul(padded, tb["shift_fwd"]), tb["fft"], N)
                 )
-                thats.append(that)
-            that_k = jnp.stack(thats)
             lde_k = jnp.stack(ldes)
             leaf = sha.hash_salted_leaves_multi(lde_k, trace_salts)
             levels = _device_levels(leaf)
             if not keep_leaves:
                 levels = levels[1:]
-            return dict(that=that_k, trace_lde=lde_k, trace_levels=levels)
+            return dict(trace_lde=lde_k, trace_levels=levels)
 
         def commit_quot(trace_lde, quot_salts, alphas, tb):
             t_views = [
@@ -341,38 +411,40 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
             else:
                 c_evals = air.constraint_lde(t_views, tb["x"], g, n)
             q_evals = bb.mont_mul(c_evals, tb["zh_tile"])
-            q_coeffs = bb.mont_mul(
-                bb.mul_const(apply_ntt(q_evals, tb["ifft"], N), N_inv),
-                tb["shift_bwd"],
-            )
             quot_levels = _device_levels(
                 sha.hash_salted_leaves(q_evals, quot_salts)
             )
             if not keep_leaves:
                 quot_levels = quot_levels[1:]
-            return dict(
-                q_evals=q_evals, q_coeffs=q_coeffs, quot_levels=quot_levels,
-            )
+            return dict(q_evals=q_evals, quot_levels=quot_levels)
 
-        def ood_multi(that, q_coeffs, pts):
-            """pts = (ns,) points [z, gz, ...]; returns (ns*k + 1,) values,
-            shift-major column-minor, quotient-at-z last."""
+        def ood_multi(trace_lde, q_evals, x, z):
+            """Barycentric OOD at [z, gz, ...]: returns ((ns*k + 1,) values
+            shift-major column-minor quotient-last, inv_xz for DEEP).
+            T_c(g^s z) = barycentric at z over roll(lde_c, -s*blowup)."""
+            inv_xz = bb.inv(bb.sub(x, z))
+            w = bb.mul(x, inv_xz)
+            pref = _bary_pref(z)
+            zero = jnp.uint32(0)
+
+            def ev(v):
+                return bb.mul(pref, bb.sub(zero, bb.sum_mod(bb.mul(v, w))))
+
             rows = []
             for s in range(ns):
-                pw = bb.powers_traced(pts[s], L, mont=True)
+                rolled = jnp.roll(trace_lde, -s * blowup, axis=1)
                 for c in range(k):
-                    rows.append(bb.sum_mod(bb.mont_mul(that[c], pw)))
-            pw_n = bb.powers_traced(pts[0], N, mont=True)
-            rows.append(bb.sum_mod(bb.mont_mul(q_coeffs, pw_n)))
-            return jnp.stack(rows)
+                    rows.append(ev(rolled[c]))
+            rows.append(ev(q_evals))
+            return jnp.stack(rows), inv_xz
 
-        def deep_multi(trace_lde, q_evals, x, ood, z):
+        def deep_multi(trace_lde, q_evals, inv_xz, ood):
             num = bb.sub(q_evals, ood[ns * k])
             for s in range(ns):
                 rolled = jnp.roll(trace_lde, -s * blowup, axis=1)
                 for c in range(k):
                     num = bb.add(num, bb.sub(rolled[c], ood[s * k + c]))
-            return bb.mul(num, bb.inv(bb.sub(x, z)))
+            return bb.mul(num, inv_xz)
 
         def gather_salted_multi(levels, values, salts, idx):
             """values (k, N): open the k-value row bundle at each index."""
@@ -401,19 +473,20 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         if ext:
             from .field import ext as extf
 
-            def ood_multi_ext(that, q_coeffs, pts):
-                """pts: (ns, 4) ext points [z, gz, ...]; returns
-                (ns*k + 1, 4) ext values, shift-major column-minor."""
+            def ood_multi_ext(trace_lde, q_evals, x, z4):
+                """Barycentric ext OOD at [z, gz, ...]: returns
+                ((ns*k + 1, 4) ext values shift-major column-minor
+                quotient-last, inv_xz (N, 4) for DEEP)."""
+                inv_xz, ev = _bary_ext(x, z4)
                 rows = []
                 for s in range(ns):
+                    rolled = jnp.roll(trace_lde, -s * blowup, axis=1)
                     for c in range(k):
-                        rows.append(
-                            extf.eval_poly_base_coeffs(that[c], pts[s])
-                        )
-                rows.append(extf.eval_poly_base_coeffs(q_coeffs, pts[0]))
-                return jnp.stack(rows)
+                        rows.append(ev(rolled[c]))
+                rows.append(ev(q_evals))
+                return jnp.stack(rows), inv_xz
 
-            def deep_multi_ext(trace_lde, q_evals, x, ood, z4):
+            def deep_multi_ext(trace_lde, q_evals, inv_xz, ood):
                 base_sum = q_evals
                 for s in range(ns):
                     rolled = jnp.roll(trace_lde, -s * blowup, axis=1)
@@ -426,12 +499,7 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
                     + [bb.sub(zero, ood_sum[j]) for j in (1, 2, 3)],
                     axis=-1,
                 )
-                x_minus_z = jnp.stack(
-                    [bb.sub(x, z4[0])]
-                    + [bb.sub(zero, z4[j]) for j in (1, 2, 3)],
-                    axis=-1,
-                )
-                return extf.mul(num, extf.inv_fast(x_minus_z))
+                return extf.mul(num, inv_xz)
 
             fns.update(
                 ood_multi_ext=jax.jit(ood_multi_ext),
@@ -439,23 +507,25 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
             )
 
     if not ext:
-        return fns
+        return _wrap_counted(fns)
 
     # ── extension-field soundness mode: z and betas live in F_p^4 ─────────
     from .field import ext as extf
     from .ops.fri import fri_fold_ext
 
-    def ood4_ext(that, q_coeffs, z4, gz4, ggz4):
-        return jnp.stack(
-            [
-                extf.eval_poly_base_coeffs(that, z4),
-                extf.eval_poly_base_coeffs(that, gz4),
-                extf.eval_poly_base_coeffs(that, ggz4),
-                extf.eval_poly_base_coeffs(q_coeffs, z4),
-            ]
-        )  # (4, 4): rows t_z, t_gz, t_ggz, q_z
+    def ood4_ext(trace_lde, q_evals, x, z4):
+        """Barycentric ext OOD: rows t_z, t_gz, t_ggz, q_z — all four share
+        one (N, 4) denominator inversion, which DEEP then reuses."""
+        inv_xz, ev = _bary_ext(x, z4)
+        vals = jnp.stack([
+            ev(trace_lde),
+            ev(jnp.roll(trace_lde, -blowup)),
+            ev(jnp.roll(trace_lde, -2 * blowup)),
+            ev(q_evals),
+        ])  # (4, 4)
+        return vals, inv_xz
 
-    def deep_ext(trace_lde, q_evals, x, ood, z4):
+    def deep_ext(trace_lde, q_evals, inv_xz, ood):
         # numerator = (base openings sum) - (ext OOD sum), an ext vector whose
         # base coefficient carries all the base-field work
         base_sum = bb.add(
@@ -473,16 +543,7 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
             ],
             axis=-1,
         )
-        x_minus_z = jnp.stack(
-            [
-                bb.sub(x, z4[0]),
-                bb.sub(zero, z4[1]),
-                bb.sub(zero, z4[2]),
-                bb.sub(zero, z4[3]),
-            ],
-            axis=-1,
-        )
-        return extf.mul(num, extf.inv_fast(x_minus_z))
+        return extf.mul(num, inv_xz)
 
     def fold_ext(current, xs_inv, beta4):
         half = current.shape[0] // 2
@@ -516,7 +577,7 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         gather_salted_ext=jax.jit(gather_salted_ext),
         gather_salted_leafless_ext=jax.jit(gather_salted_leafless_ext),
     )
-    return fns
+    return _wrap_counted(fns)
 
 
 class StarkProver:
@@ -557,6 +618,7 @@ class StarkProver:
         fri_commitments: list = []
 
         salts0 = self._salts(N)
+        profiling.incr("dispatches")  # tree build is its own program
         tree0 = build_salted_device_tree(d_evals, salts0, ext=ext)
         root0 = tree0.root()
         transcript.absorb_commitment(root0)
@@ -579,6 +641,7 @@ class StarkProver:
                 current, xs_inv = fns["fold"](current, xs_inv, jnp.uint32(beta))
 
             fri_layers.append(current)
+            profiling.incr("dispatches")
             if current.shape[0] == final_size:
                 tree = build_unsalted_device_tree(current, ext=ext)
                 salts = None
@@ -635,7 +698,6 @@ class StarkProver:
             out1 = fns["commit_trace"](
                 trace_cols, r_masks, trace_salts, fns["tables"]
             )
-            that = out1["that"]
             trace_lde = out1["trace_lde"]
             from .merkle import LEAFLESS_MIN
 
@@ -658,7 +720,6 @@ class StarkProver:
                 jnp.asarray(np.array(alphas, np.uint32)), fns["tables"],
             )
             q_evals = out2["q_evals"]
-            q_coeffs = out2["q_coeffs"]
             quotient_tree = DeviceTree(out2["quot_levels"], has_leaf_level=keep)
             quotient_root = quotient_tree.root()
         transcript.absorb_commitment(quotient_root)
@@ -669,10 +730,10 @@ class StarkProver:
             from .transcript import derive_z_ext
 
             z = derive_z_ext(transcript, N, cfg.coset_shift)
-            pts_h = [extf.h_mul_base(z, pow(g, s, P)) for s in range(ns)]
-            pts = np.array(pts_h, np.uint32)  # (ns, 4)
             with profiling.phase("ood_evals"):
-                ood_vec = fns["ood_multi_ext"](that, q_coeffs, jnp.asarray(pts))
+                ood_vec, inv_xz = fns["ood_multi_ext"](
+                    trace_lde, q_evals, fns["x"], jnp.asarray(z, jnp.uint32)
+                )
                 ood_np = np.asarray(ood_vec, np.uint64)  # (ns*k+1, 4)
             ood_trace = tuple(
                 tuple(tuple(int(v) for v in ood_np[s * k + c]) for c in range(k))
@@ -698,14 +759,14 @@ class StarkProver:
 
             with profiling.phase("deep"):
                 d_evals = fns["deep_multi_ext"](
-                    trace_lde, q_evals, fns["x"], ood_vec,
-                    jnp.asarray(z, jnp.uint32),
+                    trace_lde, q_evals, inv_xz, ood_vec
                 )
         else:
             z = derive_z(transcript, N, cfg.coset_shift)
-            pts = np.array([z * pow(g, s, P) % P for s in range(ns)], np.uint32)
             with profiling.phase("ood_evals"):
-                ood_vec = fns["ood_multi"](that, q_coeffs, jnp.asarray(pts))
+                ood_vec, inv_xz = fns["ood_multi"](
+                    trace_lde, q_evals, fns["x"], jnp.uint32(z)
+                )
                 ood_np = np.asarray(ood_vec, np.uint64)
             ood_trace = tuple(
                 tuple(int(ood_np[s * k + c]) for c in range(k)) for s in range(ns)
@@ -731,7 +792,7 @@ class StarkProver:
             # ── DEEP ──────────────────────────────────────────────────────
             with profiling.phase("deep"):
                 d_evals = fns["deep_multi"](
-                    trace_lde, q_evals, fns["x"], ood_vec, jnp.uint32(z)
+                    trace_lde, q_evals, inv_xz, ood_vec
                 )
         final_size = cfg.final_layer_size(n)
         fri_layers, fri_trees, fri_salts, fri_commitments, fri_final_layer = (
@@ -794,10 +855,10 @@ class StarkProver:
 
         def materialize(tree, indices, vps):
             v, p, s = vps
-            vals = np.asarray(v, np.uint64)
-            paths = np.asarray(p, np.uint32)
+            vals = _d2h(v).astype(np.uint64)
+            paths = _d2h(p).astype(np.uint32)
             proofs = openings_from_paths(indices, paths, tree.depth)
-            s_np = np.asarray(s, np.uint64) if s is not None else None
+            s_np = _d2h(s).astype(np.uint64) if s is not None else None
             return vals, proofs, s_np
 
         tr_vals, tr_proofs, tr_salts_np = materialize(trace_tree, trace_idx, tr_pend)
@@ -896,10 +957,8 @@ class StarkProver:
             trace_salts = self._salts(N)
             quot_salts = self._salts(N)
             out = fns["commit"](trace_col, r_mask, trace_salts, quot_salts, fns["tables"])
-            that = out["that"]
             trace_lde = out["trace_lde"]
             q_evals = out["q_evals"]
-            q_coeffs = out["q_coeffs"]
             x = fns["x"]
             from .merkle import LEAFLESS_MIN
 
@@ -919,15 +978,10 @@ class StarkProver:
             from .transcript import derive_z_ext
 
             z = derive_z_ext(transcript, N, cfg.coset_shift)
-            gz = extf.h_mul_base(z, g)
-            ggz = extf.h_mul_base(z, g * g % P)
 
             with profiling.phase("ood_evals"):
-                ood_vec = fns["ood_ext"](
-                    that, q_coeffs,
-                    jnp.asarray(z, jnp.uint32),
-                    jnp.asarray(gz, jnp.uint32),
-                    jnp.asarray(ggz, jnp.uint32),
+                ood_vec, inv_xz = fns["ood_ext"](
+                    trace_lde, q_evals, x, jnp.asarray(z, jnp.uint32)
                 )
                 ood_np = np.asarray(ood_vec, np.uint64)
                 t_z, t_gz, t_ggz, q_z = (
@@ -943,19 +997,18 @@ class StarkProver:
                 transcript.absorb_ext(v)
 
             with profiling.phase("deep"):
-                d_evals = fns["deep_ext"](
-                    trace_lde, q_evals, x, ood_vec, jnp.asarray(z, jnp.uint32)
-                )
+                d_evals = fns["deep_ext"](trace_lde, q_evals, inv_xz, ood_vec)
         else:
             z = derive_z(transcript, N, cfg.coset_shift)
 
-            # ── 4. OOD evaluations (fibonacci.rs:163-183) ─────────────────
+            # ── 4. OOD evaluations (fibonacci.rs:163-183), barycentric from
+            # the materialized eval vectors — O(N) with ONE inversion pass
+            # shared by all four values and reused by DEEP below
             with profiling.phase("ood_evals"):
-                ood_vec = fns["ood"](
-                    that, q_coeffs,
-                    jnp.uint32(z), jnp.uint32(g * z % P), jnp.uint32(g * g % P * z % P),
+                ood_vec, inv_xz = fns["ood"](
+                    trace_lde, q_evals, x, jnp.uint32(z)
                 )
-                ood_np = np.asarray(ood_vec, np.uint64)
+                ood_np = _d2h(ood_vec).astype(np.uint64)
                 t_z, t_gz, t_ggz, q_z = (int(v) for v in ood_np)
 
             # Sanity: the constraint relation holds at z (the prover-side
@@ -969,10 +1022,10 @@ class StarkProver:
                 transcript.absorb_field(v)
 
             # ── 5. DEEP polynomial (fibonacci.rs:185-198) ─────────────────
-            # All four quotients share the denominator (x - z); sum numerators
-            # then one batched inversion pass.
+            # All four quotients share the denominator (x - z), whose
+            # inversion already happened in the OOD phase — reused here.
             with profiling.phase("deep"):
-                d_evals = fns["deep"](trace_lde, q_evals, x, ood_vec, jnp.uint32(z))
+                d_evals = fns["deep"](trace_lde, q_evals, inv_xz, ood_vec)
 
         # ── 6. FRI folding with Merkle commits (fibonacci.rs:200-247) ─────
         # (inverse x-coordinates come from a closed-form power table squared
@@ -1013,11 +1066,7 @@ class StarkProver:
             """Enqueue the device gathers (no host sync)."""
             iarr = jnp.asarray(np.array(indices, np.int32))
             sfx = "_ext" if is_ext else ""
-            if tree.planar:
-                v = jnp.take(values, iarr)
-                p = extract_paths(tree.levels, iarr, planar=True)
-                s = jnp.take(salts, iarr, axis=0) if salts is not None else None
-            elif salts is not None and not tree.has_leaf_level:
+            if salts is not None and not tree.has_leaf_level:
                 v, p, s = fns["gather_salted_leafless" + sfx](
                     tuple(tree.levels), values, salts, iarr
                 )
@@ -1032,15 +1081,15 @@ class StarkProver:
 
         def materialize(tree, indices, vps):
             v, p, s = vps
-            vals = np.asarray(v, np.uint64)
-            paths = np.asarray(p, np.uint32)
+            vals = _d2h(v).astype(np.uint64)
+            paths = _d2h(p).astype(np.uint32)
             proofs = openings_from_paths(indices, paths, tree.depth)
-            s_np = np.asarray(s, np.uint64) if s is not None else None
+            s_np = _d2h(s).astype(np.uint64) if s is not None else None
             return vals, proofs, s_np
 
         all_trees = [trace_tree, quotient_tree] + fri_trees[:num_folds]
         all_idx = [trace_idx, quot_idx, deep_idx] + fri_idx
-        if "gather_all" in fns and not any(t.planar for t in all_trees):
+        if "gather_all" in fns:
             # one dispatch + one transfer for the whole query phase
             all_vals = [trace_lde, q_evals] + fri_layers[:num_folds]
             all_salts = [trace_salts, quot_salts] + fri_salts[:num_folds]
@@ -1051,7 +1100,7 @@ class StarkProver:
                 tuple(jnp.asarray(np.array(ix, np.int32)) for ix in all_idx),
             )
             parts = fns["split_gathered"](
-                np.asarray(v_f), np.asarray(p_f), np.asarray(s_f)
+                _d2h(v_f), _d2h(p_f), _d2h(s_f)
             )
             done = [
                 (vals, openings_from_paths(idx, paths, tree.depth), s_np)
@@ -1059,7 +1108,7 @@ class StarkProver:
                 in zip(all_trees, all_idx, parts)
             ]
         else:
-            # per-tree gathers (planar Pallas trees keep their own path)
+            # per-tree gathers (fallback when the fused program is absent)
             pend = [
                 (trace_tree, trace_idx, dispatch(trace_tree, trace_lde, trace_idx, trace_salts)),
                 (quotient_tree, quot_idx, dispatch(quotient_tree, q_evals, quot_idx, quot_salts)),

@@ -85,24 +85,25 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
     g = domain.group_gen()
     m = L - n
     inv_om_n = pow(domain.omega, P - 2, P)
-    inv_om_N = pow(shifted.omega, P - 2, P)
-    shift_fwd, shift_bwd = _shift_tables(N, coset_shift)
+    shift_fwd, _shift_bwd_unused = _shift_tables(N, coset_shift)
     n_inv = pow(n, P - 2, P)
-    N_inv = pow(N, P - 2, P)
     Q = num_queries
     half0 = N // 2
     multi = k > 1 or nc > 1 or ns != 3
 
+    # no inverse-NTT tables since round 2: the quotient never returns to
+    # coefficient space (barycentric OOD from the evals) — this also shrinks
+    # the single fused program by a full N-point inverse transform
     tables = dict(
         trace_intt=ntt_tables(n, inv_om_n),
         fft=ntt_tables(N, shifted.omega),
-        ifft=ntt_tables(N, inv_om_N),
         shift_fwd=shift_fwd,
-        shift_bwd=shift_bwd,
         zh_tile=_zh_inv_tile_dev(n, N, coset_shift, shifted.omega),
         x=shifted.elements(),
         xs_inv0=_xs_inv0_dev(N, coset_shift, shifted.omega),
     )
+    h_N = pow(coset_shift, N, P)
+    NhN_inv = pow(N * h_N % P, P - 2, P)
 
     # intermediate FRI layer sizes (fibonacci.rs:220-245) and the opened-tree
     # spec of the fused gather, identical to prover.py's gather_all
@@ -171,7 +172,7 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         u32 raw threefry keys in StarkProver's exact draw order (trace,
         quotient, FRI layer 0, then each salted intermediate layer)."""
         # ── trace commit (fibonacci.rs:110-130) ───────────────────────────
-        thats, ldes = [], []
+        ldes = []
         for c in range(k):
             t_coeffs = bb.mul_const(
                 apply_ntt(trace_cols[c], tb["trace_intt"], n), n_inv
@@ -180,12 +181,10 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
             r_low = jnp.pad(r_masks[c], (0, L - m))
             r_shift = jnp.pad(r_masks[c], (n, L - m - n))
             that = bb.add(t_pad, bb.sub(r_shift, r_low))
-            thats.append(that)
             ldes.append(
                 apply_ntt(bb.mont_mul(jnp.pad(that, (0, N - L)),
                                       tb["shift_fwd"]), tb["fft"], N)
             )
-        that_k = jnp.stack(thats)
         lde_k = jnp.stack(ldes)
         trace_salts = _salt_bits(salt_keys[0], N)
         trace_levels, trace_root_w = tree_salted(
@@ -214,10 +213,6 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         else:
             c_evals = air.constraint_lde(t_args, tb["x"], g, n)
         q_evals = bb.mont_mul(c_evals, tb["zh_tile"])
-        q_coeffs = bb.mont_mul(
-            bb.mul_const(apply_ntt(q_evals, tb["ifft"], N), N_inv),
-            tb["shift_bwd"],
-        )
         quot_salts = _salt_bits(salt_keys[1], N)
         quot_levels, quot_root_w = tree_salted("base", q_evals, quot_salts)
         pre_z_parts.append(("digest", quot_root_w))
@@ -231,53 +226,69 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
                 td.hash_parts(pre_z_parts), N, coset_shift
             )
 
-        # ── OOD openings at z, g z, ..., g^(ns-1) z (fibonacci.rs:163-183) ─
+        # ── OOD openings at z, g z, ..., g^(ns-1) z (fibonacci.rs:163-183),
+        # barycentric from the eval vectors: p(z) = (z^N - h^N)/(N h^N) *
+        # sum_i x_i v_i/(z - x_i); T_c(g^s z) uses the rolled LDE, so every
+        # value shares ONE denominator inversion, reused by DEEP below ─────
         if ext:
-            pts = [z] + [bb.mul_const(z, pow(g, s, P)) for s in range(1, ns)]
+            zero = jnp.zeros_like(tb["x"])
+            x_minus_z = jnp.stack(
+                [bb.sub(tb["x"], z[0])]
+                + [bb.sub(zero, z[j]) for j in (1, 2, 3)], axis=-1,
+            )
+            inv_xz = extf.inv_fast(x_minus_z)        # (N, 4)
+            wv = extf.mul_base(inv_xz, tb["x"])
+            zN = extf.pow_const(z[None, :], N)[0]
+            hN4 = jnp.asarray(np.array([h_N, 0, 0, 0], np.uint32))
+            pref = bb.mul_const(extf.sub(zN, hN4), NhN_inv)   # (4,)
+
+            def ev(v):
+                sm = bb.sum_mod(extf.mul_base(wv, v), axis=0)
+                return extf.mul(
+                    pref[None, :], bb.sub(jnp.uint32(0), sm)[None, :]
+                )[0]
+
             rows = [
-                extf.eval_poly_base_coeffs(that_k[c], pts[s])
-                for s in range(ns) for c in range(k)
+                ev(t_views[s][c]) for s in range(ns) for c in range(k)
             ]
-            rows.append(extf.eval_poly_base_coeffs(q_coeffs, pts[0]))
+            rows.append(ev(q_evals))
             ood = jnp.stack(rows)  # (ns*k + 1, 4)
         else:
-            pts = [z] + [bb.mul_const(z, pow(g, s, P)) for s in range(1, ns)]
-
-            def ev(coeffs, pw):
-                return bb.sum_mod(bb.mont_mul(coeffs, pw))
-
-            rows = []
-            for s in range(ns):
-                pw = bb.powers_traced(pts[s], L, mont=True)
-                rows += [ev(that_k[c], pw) for c in range(k)]
-            rows.append(
-                ev(q_coeffs, bb.powers_traced(pts[0], N, mont=True))
+            inv_xz = bb.inv(bb.sub(tb["x"], z))
+            wv = bb.mul(tb["x"], inv_xz)
+            pref = bb.mul_const(
+                bb.sub(bb.pow_const(z, N), jnp.uint32(h_N)), NhN_inv
             )
+
+            def ev(v):
+                sm = bb.sum_mod(bb.mul(v, wv))
+                return bb.mul(pref, bb.sub(jnp.uint32(0), sm))
+
+            rows = [
+                ev(t_views[s][c]) for s in range(ns) for c in range(k)
+            ]
+            rows.append(ev(q_evals))
             ood = jnp.stack(rows)  # (ns*k + 1,)
 
-        # ── DEEP quotient (fibonacci.rs:185-198) ──────────────────────────
+        # ── DEEP quotient (fibonacci.rs:185-198): reuses inv_xz ───────────
         if ext:
             base_sum = q_evals
             for s in range(ns):
                 for c in range(k):
                     base_sum = bb.add(base_sum, t_views[s][c])
             ood_sum = bb.sum_mod(ood, axis=0)  # (4,)
-            zero = jnp.zeros_like(base_sum)
+            zero2 = jnp.zeros_like(base_sum)
             num = jnp.stack(
                 [bb.sub(base_sum, ood_sum[0])]
-                + [bb.sub(zero, ood_sum[j]) for j in (1, 2, 3)], axis=-1,
+                + [bb.sub(zero2, ood_sum[j]) for j in (1, 2, 3)], axis=-1,
             )
-            x_minus_z = jnp.stack(
-                [bb.sub(tb["x"], z[0])]
-                + [bb.sub(zero, z[j]) for j in (1, 2, 3)], axis=-1,
-            )
-            d_evals = extf.mul(num, extf.inv_fast(x_minus_z))  # (N, 4)
+            d_evals = extf.mul(num, inv_xz)  # (N, 4)
         else:
             num = bb.sub(q_evals, ood[ns * k])
             for s in range(ns):
                 for c in range(k):
                     num = bb.add(num, bb.sub(t_views[s][c], ood[s * k + c]))
-            d_evals = bb.mul(num, bb.inv(bb.sub(tb["x"], z)))
+            d_evals = bb.mul(num, inv_xz)
 
         # ── FRI: on-device betas (fibonacci.rs:200-247) ───────────────────
         fri_salts0 = _salt_bits(salt_keys[2], N)
