@@ -118,3 +118,39 @@ def test_flag_on_routes_through_domain_fft(monkeypatch):
         assert np.array_equal(np.asarray(evals, np.uint64), want)
     finally:
         monkeypatch.setattr(ntt_ops, "_MXU_NTT", None)
+
+
+def test_i8_balanced_digits_exact():
+    """Balanced base-256 digits recombine exactly and stay in [-128, 127]
+    for every BabyBear value class (incl. the carry-chain extremes)."""
+    from toyni_tpu.ops.ntt_mxu import _digits_i8_np
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.integers(0, P, 1 << 12, dtype=np.uint64),
+        np.array([0, 1, 127, 128, 255, 256, P - 1, P - 2, 0x7F7F7F7F % P],
+                 np.uint64),
+    ]).astype(np.uint32).reshape(1, -1)
+    d = _digits_i8_np(vals).astype(np.int64)
+    back = sum(d[i] << (8 * i) for i in range(4))
+    assert np.array_equal(back, vals.astype(np.int64))
+
+
+def test_i8_mxu_matches_reference():
+    """The int8 balanced-digit MXU variant must match ops.ntt.ntt
+    bit-for-bit, including the all-(p-1) carry extremes of the signed
+    recombination."""
+    from toyni_tpu.ops.ntt_mxu import apply_mxu_ntt, mxu_ntt_tables_i8
+
+    rng = np.random.default_rng(12)
+    for log_n in (8, 12, 16, 17):
+        n = 1 << log_n
+        om = get_root_of_unity(log_n)
+        tabs = mxu_ntt_tables_i8(n, om)
+        for x in (
+            rng.integers(0, P, n, dtype=np.uint64).astype(np.uint32),
+            np.full(n, P - 1, np.uint32),
+        ):
+            want = np.asarray(ntt_ref(jnp.asarray(x), om), np.uint64)
+            got = np.asarray(apply_mxu_ntt(jnp.asarray(x), tabs), np.uint64)
+            assert np.array_equal(want, got), f"i8 mismatch at 2^{log_n}"

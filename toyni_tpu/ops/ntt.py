@@ -216,15 +216,16 @@ _MXU_NTT = None
 
 def _mxu_ntt_env() -> int:
     """TOYNI_MXU_NTT env override: 0 = force off (XLA four-step), 1 = the
-    MXU four-step recursion, 2 = the fully-fused transposed-output chain
-    (interpret/2-level-only on hardware — see ntt_mxu.apply_mxu_ntt_t).
-    Unset -> -1 (auto)."""
+    MXU four-step recursion (bf16 limb matmuls), 2 = the fully-fused
+    transposed-output chain (interpret/2-level-only on hardware — see
+    ntt_mxu.apply_mxu_ntt_t), 3 = the int8 balanced-digit variant (2x MXU
+    rate). Unset -> -1 (auto)."""
     global _MXU_NTT
     if _MXU_NTT is None:
         import os
 
         v = os.environ.get("TOYNI_MXU_NTT", "")
-        _MXU_NTT = int(v) if v in ("0", "1", "2") else -1
+        _MXU_NTT = int(v) if v in ("0", "1", "2", "3") else -1
     return _MXU_NTT
 
 
@@ -299,10 +300,15 @@ def ntt_tables(size: int, omega: int):
     remote-compile request)."""
     if size >= _FOUR_STEP_MIN:
         if _mxu_ntt_enabled() and not (_mxu_auto() and size < _MXU_MIN):
-            from .ntt_mxu import mxu_ntt_tables, mxu_ntt_tables_t
+            from .ntt_mxu import (
+                mxu_ntt_tables, mxu_ntt_tables_i8, mxu_ntt_tables_t,
+            )
 
-            if _mxu_ntt_variant() == 2:
+            v = _mxu_ntt_variant()
+            if v == 2:
                 return mxu_ntt_tables_t(size, omega)
+            if v == 3:
+                return mxu_ntt_tables_i8(size, omega)
             return mxu_ntt_tables(size, omega)
         _, _, colt, rowt, W = _four_step_tables_dev(size, omega)
         return (colt, rowt, W)

@@ -74,6 +74,25 @@ def _limbs_bf16_np(mat: np.ndarray) -> np.ndarray:
     return limbs.astype(ml_dtypes.bfloat16)
 
 
+def _digits_i8_np(mat: np.ndarray) -> np.ndarray:
+    """(4, m, m) int8 BALANCED base-256 digits of a u32 matrix: digits in
+    [-128, 127] with value = sum_i d_i * 256^i (exact; representable for all
+    values < 2^31 - 2^24, which covers BabyBear). Feeds the int8 MXU path —
+    the systolic array runs int8 x int8 -> int32 at 2x the bf16 rate
+    (394 vs 197 T(FL)OPS on v5e) and int32 accumulation is exact for the
+    256-term digit-product sums (|sum| <= 4 * 128^2 * 256 = 2^24)."""
+    v = mat.astype(np.int64)
+    digs = []
+    carry = np.zeros_like(v)
+    for i in range(4):
+        l = ((v >> (8 * i)) & 0xFF) + carry
+        carry = (l >= 128).astype(np.int64)
+        digs.append(l - (carry << 8))
+    out = np.stack(digs)
+    assert out.min() >= -128 and out.max() <= 127
+    return out.astype(np.int8)
+
+
 def _level_kernel(m: int, TB: int, fuse_w: bool):
     def kernel(x_ref, ml_ref, *rest):
         if fuse_w:
@@ -142,6 +161,104 @@ def _level_kernel(m: int, TB: int, fuse_w: bool):
     return kernel
 
 
+def _extract_digits_i8(x):
+    """u32 (m, TB) tile -> 4 int8 (m, TB) balanced base-256 digit planes
+    (the in-kernel counterpart of `_digits_i8_np`)."""
+    v = x.astype(jnp.int32)
+    ds = []
+    carry = None
+    for i in range(4):
+        l = (v >> (8 * i)) & 255
+        if carry is not None:
+            l = l + carry
+        c = (l >= 128).astype(jnp.int32)
+        ds.append((l - (c << 8)).astype(jnp.int8))
+        carry = c
+    return ds
+
+
+def _recombine_signed(c):
+    """V = sum_k c_k 2^(8k) mod p for 7 SIGNED int32 words (|c_k| <= 2^24,
+    V in [0, 2^75)): exact 3-word two's-complement accumulation — each
+    signed term is sign-extended across the 96-bit window, word sums track
+    carries, and V mod p finishes with the same two Montgomery multiplies
+    as the unsigned (bf16-path) recombination."""
+    bc = lambda t: jax.lax.bitcast_convert_type(t, jnp.uint32)  # noqa: E731
+    sign = lambda t: bc(t >> 31)  # noqa: E731 — 0 or 0xFFFFFFFF
+
+    los, mids, highs = [], [], []
+    for k, ck in enumerate(c):
+        sh = 8 * k
+        if sh == 0:
+            los.append(bc(ck))
+            mids.append(sign(ck))
+            highs.append(sign(ck))
+        elif sh < 32:
+            los.append(bc(ck) << sh)
+            mids.append(bc(ck >> (32 - sh)))     # arithmetic shift
+            highs.append(sign(ck))
+        elif sh == 32:
+            mids.append(bc(ck))
+            highs.append(sign(ck))
+        else:
+            s2 = sh - 32
+            mids.append(bc(ck) << s2)
+            highs.append(bc(ck >> (32 - s2)))
+
+    def acc(words):
+        total = words[0]
+        carry = None
+        for wrd in words[1:]:
+            nt = total + wrd
+            cb = (nt < total).astype(_U32)
+            carry = cb if carry is None else carry + cb
+            total = nt
+        return total, carry
+
+    w0, c0 = acc(los)
+    w1, c1 = acc(mids + [c0])
+    w2, _ = acc(highs + [c1])
+
+    r0 = jnp.where(w0 >= _U32(P), w0 - _U32(P), w0)
+    r0 = jnp.where(r0 >= _U32(P), r0 - _U32(P), r0)
+    return bb.add(
+        bb.add(r0, bb.mont_mul_shift(w1, _U32(_C32))),
+        bb.mont_mul_shift(w2, _U32(_C64)),
+    )
+
+
+def _level_kernel_i8(m: int, TB: int, fuse_w: bool):
+    """int8-MXU level kernel: balanced-digit dot products with int32
+    accumulation (2x the bf16 MXU rate), signed 3-word recombination."""
+
+    def kernel(x_ref, ml_ref, *rest):
+        if fuse_w:
+            w_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
+        xd = _extract_digits_i8(x_ref[:])  # 4 x int8 (m, TB)
+        c = []
+        for k in range(7):
+            ck = None
+            for i in range(4):
+                j = k - i
+                if not (0 <= j <= 3):
+                    continue
+                s = jax.lax.dot_general(
+                    ml_ref[i], xd[j],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                ck = s if ck is None else ck + s
+            c.append(ck)
+        acc_val = _recombine_signed(c)
+        if fuse_w:
+            acc_val = bb.mont_mul_shift(acc_val, w_ref[:])
+        o_ref[:] = acc_val
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=1)
 def _tb_cap() -> int:
     """Column-tile width cap (lanes per kernel invocation). Default 512;
@@ -190,8 +307,12 @@ def _dft_level(x2d, ml, w=None, *, fuse_w=False, interpret=False):
             pl.BlockSpec((m, TB), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
         args.append(w)
+    kern = (
+        _level_kernel_i8(m, TB, fuse_w) if ml.dtype == jnp.int8
+        else _level_kernel(m, TB, fuse_w)
+    )
     return pl.pallas_call(
-        _level_kernel(m, TB, fuse_w),
+        kern,
         out_shape=jax.ShapeDtypeStruct((m, B), _U32),
         grid=(B // TB,),
         in_specs=in_specs,
@@ -308,6 +429,29 @@ def mxu_ntt_tables(n: int, omega: int):
             (jnp.asarray(ml), None if W is None else jnp.asarray(W))
             for (_, _, ml, W) in _mxu_tables_np(n, omega)
         )
+
+
+@functools.lru_cache(maxsize=16)
+def mxu_ntt_tables_i8(n: int, omega: int):
+    """Level tables with int8 balanced-digit DFT matrices (the int8 MXU
+    variant, TOYNI_MXU_NTT=3): same recursion/W tables, matrices re-encoded
+    so the dots run on the 394-TOPS int8 systolic path."""
+    base = _mxu_tables_np(n, omega)
+    levels = _factor_levels(n)
+    om = omega
+    out = []
+    with jax.ensure_compile_time_eval():
+        for li, (m1, m2, _ml, W) in enumerate(base):
+            if li == len(levels) - 1:
+                mat = _dft_matrix_np(m1, om)
+            else:
+                mat = _dft_matrix_np(m1, pow(om, m2, P))
+            out.append((
+                jnp.asarray(_digits_i8_np(mat)),
+                None if W is None else jnp.asarray(W),
+            ))
+            om = pow(om, m1, P)
+    return tuple(out)
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "interpret"))
