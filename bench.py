@@ -13,9 +13,10 @@ reference's CPU-vs-accelerator comparison, src/ntt.rs:264-287, in spirit).
 
 `extra` carries the BASELINE.md end-to-end metrics: Fibonacci proofs/sec at
 trace 2^8 and 2^16 (full ZK pipeline, host-verified), measured steady-state
-with the phase prover. Stages respect a deadline so the driver's 1700 s
-budget is never exceeded — a stage that would not fit is skipped and its
-key reports null.
+with the per-size winning prover (fused single-dispatch at 2^8, phase at
+2^16 — PERF.md round-2 table). Stages respect a deadline so the driver's
+1700 s budget is never exceeded — a stage that would not fit is skipped and
+its key reports null.
 """
 
 from __future__ import annotations
@@ -92,15 +93,20 @@ def _bench_backend(device, log_n: int, iters: int) -> float:
     return dt
 
 
-def _bench_proofs(device, rows: int, iters: int):
-    """Steady-state seconds/proof for the phase prover at `rows` trace rows
-    (full ZK pipeline); the first proof is host-verified."""
+def _bench_proofs(device, rows: int, iters: int, prover: str = "fused"):
+    """Steady-state seconds/proof at `rows` trace rows (full ZK pipeline);
+    the first proof is host-verified. `prover`: 'fused' (single-dispatch —
+    the measured winner: 0.42 vs 0.65 s/proof at 2^8 on v5e) or 'phase'."""
     import jax
 
     from toyni_tpu.field.babybear import P
-    from toyni_tpu.prover import StarkProver
     from toyni_tpu.trace import ExecutionTrace
     from toyni_tpu.verifier import StarkVerifier
+
+    if prover == "fused":
+        from toyni_tpu.prover_fused import FusedStarkProver as prover_cls
+    else:
+        from toyni_tpu.prover import StarkProver as prover_cls
 
     jax.config.update("jax_default_device", device)
 
@@ -113,33 +119,35 @@ def _bench_proofs(device, rows: int, iters: int):
         t.insert_column(fibs)
         return t
 
-    first = StarkProver(trace(), seed=1).generate_proof()
+    first = prover_cls(trace(), seed=1).generate_proof()
     assert StarkVerifier().verify(first), "bench proof rejected by verifier"
     t0 = time.perf_counter()
     for i in range(iters):
-        StarkProver(trace(), seed=10 + i).generate_proof()
+        prover_cls(trace(), seed=10 + i).generate_proof()
     return (time.perf_counter() - t0) / iters
 
 
-def _proofs_stage_main(rows: int, iters: int) -> None:
+def _proofs_stage_main(rows: int, iters: int, prover: str = "fused") -> None:
     """Child-process entry: print one float (seconds/proof) on the last
-    line. Run as `python bench.py --proofs <rows> <iters>`."""
+    line. Run as `python bench.py --proofs <rows> <iters> [prover]`."""
     _enable_compile_cache()
     import jax
 
     tpu = [d for d in jax.devices() if d.platform == "tpu"]
     dev = tpu[0] if tpu else jax.devices()[0]
-    print(_bench_proofs(dev, rows, iters))
+    print(_bench_proofs(dev, rows, iters, prover))
 
 
-def _proofs_subprocess(rows: int, iters: int, budget: float):
+def _proofs_subprocess(rows: int, iters: int, budget: float,
+                       prover: str = "fused"):
     """Run a proofs stage in a child process under a HARD timeout: a hung
     remote compile then costs its budget, not the driver's whole run."""
     import subprocess
 
     try:
         out = subprocess.run(
-            [sys.executable, __file__, "--proofs", str(rows), str(iters)],
+            [sys.executable, __file__, "--proofs", str(rows), str(iters),
+             prover],
             capture_output=True, text=True, timeout=budget,
         )
         if out.returncode != 0:
@@ -165,20 +173,22 @@ def main() -> None:
     butterflies = n // 2 * LOG_N
     tpu_rate = butterflies / sec
 
-    extra = {"e2e_prover": "phase", "ntt_ms_2e24": round(sec * 1e3, 2)}
+    extra = {"ntt_ms_2e24": round(sec * 1e3, 2)}
 
     # end-to-end proofs/sec (BASELINE.md metrics): each stage runs in a
-    # child process under a hard timeout sized to what the deadline allows
-    for key, rows, iters, budget in (
-        ("proofs_per_sec_2e8", 1 << 8, 5, 420),
-        ("proofs_per_sec_2e16", 1 << 16, 3, 600),
+    # child process under a hard timeout sized to what the deadline allows;
+    # prover choice per size = the measured winner (PERF.md round 2)
+    for key, rows, iters, budget, prover in (
+        ("proofs_per_sec_2e8", 1 << 8, 5, 420, "fused"),
+        ("proofs_per_sec_2e16", 1 << 16, 3, 600, "phase"),
     ):
         budget = min(budget, _remaining() - 90)  # keep teardown headroom
         if budget < 120:
             extra[key] = None
             continue
-        spp, err = _proofs_subprocess(rows, iters, budget)
+        spp, err = _proofs_subprocess(rows, iters, budget, prover)
         extra[key] = round(1.0 / spp, 3) if spp else None
+        extra[key + "_prover"] = prover
         if err:
             extra[key + "_error"] = err
 
@@ -202,6 +212,9 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--proofs":
-        _proofs_stage_main(int(sys.argv[2]), int(sys.argv[3]))
+        _proofs_stage_main(
+            int(sys.argv[2]), int(sys.argv[3]),
+            sys.argv[4] if len(sys.argv) > 4 else "fused",
+        )
         sys.exit(0)
     sys.exit(main())

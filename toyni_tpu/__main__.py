@@ -65,7 +65,11 @@ def cmd_prove(args) -> int:
 
     air, t, deg = _make_air(args.air, args.rows)
     cfg = StarkConfig(ext_challenges=args.ext, constraint_degree=deg)
-    if args.fused:
+    # default = the measured per-size winner (PERF.md round-2 table): the
+    # fused single-dispatch prover at small traces (0.42 vs 0.65 s/proof at
+    # 2^8 on v5e), the phase prover at large ones
+    use_fused = args.fused or (not args.phase and args.rows <= (1 << 12))
+    if use_fused:
         from toyni_tpu.prover_fused import FusedStarkProver as prover_cls
     else:
         prover_cls = StarkProver
@@ -165,8 +169,14 @@ def main(argv=None) -> int:
     )
     pp.add_argument(
         "--fused", action="store_true",
-        help="single-dispatch prover: whole proof (incl. the Fiat-Shamir "
-             "transcript) as one device program; byte-identical proofs",
+        help="force the single-dispatch prover: whole proof (incl. the "
+             "Fiat-Shamir transcript) as one device program; byte-identical "
+             "proofs (the DEFAULT for traces <= 2^12 — the measured-win "
+             "region on v5e)",
+    )
+    pp.add_argument(
+        "--phase", action="store_true",
+        help="force the phase prover (the default for traces > 2^12)",
     )
     pp.set_defaults(fn=cmd_prove)
 

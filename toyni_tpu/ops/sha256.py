@@ -127,8 +127,41 @@ _UNROLLED = None
 def _unrolled() -> bool:
     global _UNROLLED
     if _UNROLLED is None:
-        _UNROLLED = _prefer_unrolled()
+        import os
+
+        env = os.environ.get("TOYNI_SHA_UNROLL", "")
+        if env in ("0", "1"):
+            # explicit override: rolled compression shrinks giant fused
+            # programs ~50x (64 inlined rounds -> one fori_loop per call
+            # site) at ~12x lower hash throughput — the right trade when a
+            # single-dispatch program otherwise exceeds the compiler's
+            # memory (the remote compile helper SIGKILLs around ~14 MB of
+            # MLIR on this deployment)
+            _UNROLLED = env == "1"
+        else:
+            _UNROLLED = _prefer_unrolled()
     return _UNROLLED
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def forced(unrolled: bool):
+    """Pin the compression form while tracing a program. The fused
+    single-dispatch prover traces under `forced(False)`: with the unrolled
+    form its whole-proof program reaches ~14 MB of MLIR and this
+    deployment's remote compile helper is SIGKILLed; rolled it compiles in
+    ~2 min and still WINS end-to-end (0.42 vs 0.65 s/proof at trace 2^8 —
+    hashing is a small slice of a fused small-trace proof). Identical bytes
+    either way."""
+    global _UNROLLED
+    old = _UNROLLED
+    _UNROLLED = unrolled
+    try:
+        yield
+    finally:
+        _UNROLLED = old
 
 
 def compress_unrolled(state, block):

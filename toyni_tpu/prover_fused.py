@@ -36,6 +36,12 @@ from .config import DEFAULT_CONFIG, StarkConfig
 from .domain import Domain
 from .field import babybear as bb
 from .field import ext as extf
+
+
+def sha_forced_rolled():
+    from .ops import sha256 as sha
+
+    return sha.forced(False)
 from .field.babybear import P
 from .merkle import LEAFLESS_MIN, _device_levels, extract_paths, openings_from_paths
 from .proof import MerkleOpening, QueryProof, StarkProof
@@ -621,7 +627,13 @@ class FusedStarkProver:
             trace_cols = jnp.asarray(
                 np.stack(self.trace.columns).astype(np.uint32)
             )
-            out = fns["prove"](trace_cols, r_masks, salt_keys, fns["tables"])
+            # trace under rolled SHA compression: the unrolled form makes
+            # this whole-proof program exceed the remote compile helper's
+            # memory (~14 MB MLIR -> SIGKILL); rolled compiles AND wins
+            # end-to-end at small traces (see sha256.forced)
+            with sha_forced_rolled():
+                out = fns["prove"](trace_cols, r_masks, salt_keys,
+                                   fns["tables"])
             out_np = {key: np.asarray(v) for key, v in out.items()}
 
         return _assemble_proof(
@@ -688,9 +700,10 @@ class FusedBatchStarkProver:
                 fns["prove_batch"] = jax.jit(
                     jax.vmap(fns["prove_raw"], in_axes=(0, 0, 0, None))
                 )
-            out = fns["prove_batch"](
-                trace_cols, r_masks, salt_keys, fns["tables"]
-            )
+            with sha_forced_rolled():
+                out = fns["prove_batch"](
+                    trace_cols, r_masks, salt_keys, fns["tables"]
+                )
             out_np = {key: np.asarray(v) for key, v in out.items()}
 
         return [
