@@ -197,3 +197,36 @@ def test_unsalted_ext_leaf_hash_matches_hashlib():
         v = tuple(int(x) for x in values[i])
         expect = hashlib.sha256(b"\x00" + extf.h_to_bytes(v)).digest()
         assert sha.digest_bytes(got[i]) == expect, f"leaf {i}"
+
+
+def test_rolled_and_unrolled_sha_identical():
+    """The rolled (fori_loop) and unrolled compression forms must produce
+    identical digests — the fused prover traces under `sha256.forced(False)`
+    (program-size control) and relies on this equivalence."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from toyni_tpu.field.babybear import P
+    from toyni_tpu.ops import sha256 as sha
+
+    rng = np.random.default_rng(21)
+    vals = jnp.asarray(
+        rng.integers(0, P, 64, dtype=np.uint64).astype(np.uint32)
+    )
+    salts = jnp.asarray(
+        rng.integers(0, 2**32, (64, 4), dtype=np.uint64).astype(np.uint32)
+    )
+    with sha.forced(False):
+        rolled = np.asarray(sha.hash_salted_leaves(vals, salts))
+        rolled_n = np.asarray(
+            sha.hash_nodes(jnp.asarray(rolled[0::2]), jnp.asarray(rolled[1::2]))
+        )
+    with sha.forced(True):
+        unrolled = np.asarray(sha.hash_salted_leaves(vals, salts))
+        unrolled_n = np.asarray(
+            sha.hash_nodes(jnp.asarray(rolled[0::2]), jnp.asarray(rolled[1::2]))
+        )
+    np.testing.assert_array_equal(rolled, unrolled)
+    np.testing.assert_array_equal(rolled_n, unrolled_n)
+    # the context restores the previous selection
+    assert sha._unrolled() in (True, False)
