@@ -42,7 +42,6 @@ from .ops.ntt import (
 )
 from .proof import MerkleOpening, QueryProof, StarkProof
 from .prover import _xs_inv0_dev, _zh_inv_tile_dev
-from .trace import ExecutionTrace
 from .transcript import Transcript, derive_z
 from . import profiling
 

@@ -46,8 +46,8 @@ from ..config import DEFAULT_CONFIG, StarkConfig
 from ..domain import Domain
 from ..field import babybear as bb
 from ..field import ext as extf
-from ..field.babybear import P, MONT_R
-from ..merkle import MerkleProof, openings_from_paths
+from ..field.babybear import P
+from ..merkle import openings_from_paths
 from ..ops import sha256 as sha
 from ..ops.fri import fri_fold_ext
 from ..ops.ntt import intt, np_powers
