@@ -178,9 +178,15 @@ def main() -> None:
     # end-to-end proofs/sec (BASELINE.md metrics): each stage runs in a
     # child process under a hard timeout sized to what the deadline allows;
     # prover choice per size = the measured winner (PERF.md round 2)
+    # NOTE the 2^16 budget: even with every executable in the persistent
+    # compile cache, the child spends ~840 s (idle; more under tunnel
+    # contention) in Python tracing/lowering — the unrolled-SHA tree
+    # programs at 2^21 leaves trace to huge jaxprs, and tracing is never
+    # cached across processes. The deadline guard below still protects the
+    # headline metric if the stage cannot fit.
     for key, rows, iters, budget, prover in (
         ("proofs_per_sec_2e8", 1 << 8, 5, 420, "fused"),
-        ("proofs_per_sec_2e16", 1 << 16, 3, 600, "phase"),
+        ("proofs_per_sec_2e16", 1 << 16, 2, 1200, "phase"),
     ):
         budget = min(budget, _remaining() - 90)  # keep teardown headroom
         if budget < 120:
