@@ -21,6 +21,8 @@ Digests are carried as ``(..., 8)`` uint32 big-endian words; `digest_bytes` /
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -286,6 +288,35 @@ def unpack_words(words):
 # lane of HBM — 8 GB per tree at LDE 2^25 — and was the OOM that capped trace
 # size; the word-wise path's biggest temp is the (N, 16) block itself.
 
+# ── per-shape trace dedup ────────────────────────────────────────────────────
+# Every public hash entry point is wrapped in an inner `jax.jit`: the 64
+# unrolled rounds then trace ONCE per (argument shapes, compression form) and
+# every further call site — a 2^21-leaf tree program contains ~43 of them,
+# and a whole proof ~500 — reuses the cached jaxpr and lowers as a call to
+# one shared function instead of re-inlining ~1,300 traced ops. This is what
+# makes cold-process tracing of the big-trace provers affordable (the phase
+# prover at trace 2^16 spent ~840 s/process tracing before this; XLA's call
+# inliner re-expands the calls during HLO optimization, so the compiled
+# program — and the measured hash throughput — is unchanged). The cache keys
+# on the rolled/unrolled flag because `forced()` can flip it between calls
+# with identical shapes.
+
+
+def _shapejit(fn):
+    jitted = {}
+
+    @functools.wraps(fn)
+    def wrapper(*args):
+        import jax
+
+        f = jitted.get(_unrolled())
+        if f is None:
+            f = jitted[_unrolled()] = jax.jit(fn)
+        return f(*args)
+
+    return wrapper
+
+@_shapejit
 def hash_salted_leaves(values, salts):
     """SHA256(0x00 || salt || value8LE) for every lane.
 
@@ -313,6 +344,7 @@ def hash_salted_leaves(values, salts):
     return sha256_words([win])
 
 
+@_shapejit
 def hash_unsalted_leaves(values):
     """SHA256(0x00 || value8LE): the public final-FRI-layer leaves
     (src/fibonacci.rs:357-363)."""
@@ -334,6 +366,7 @@ def _le8_words(v):
     return lo
 
 
+@_shapejit
 def hash_salted_leaves_ext(values, salts):
     """SHA256(0x00 || salt16 || ext32LE) for (..., 4) u32 ext codeword lanes:
     the hiding leaf of the extension-field soundness mode. Value encoding =
@@ -364,6 +397,7 @@ def hash_salted_leaves_ext(values, salts):
     return sha256_words([win])
 
 
+@_shapejit
 def hash_unsalted_leaves_ext(values):
     """SHA256(0x00 || ext32LE): the public final-FRI-layer leaves of the
     extension-field mode. 33-byte message, one block."""
@@ -379,6 +413,7 @@ def hash_unsalted_leaves_ext(values):
     return sha256_words([win])
 
 
+@_shapejit
 def hash_salted_leaves_multi(values, salts):
     """SHA256(0x00 || salt16 || v_0 8LE || ... || v_{k-1} 8LE): the row-bundle
     leaf of multi-column trace commitments — all k column values at one LDE
@@ -424,6 +459,7 @@ def hash_salted_leaves_multi(values, salts):
     return sha256_words([words[b * 16:(b + 1) * 16] for b in range(nb)])
 
 
+@_shapejit
 def hash_nodes(left, right):
     """SHA256(0x01 || left || right) for (..., 8) u32 digest pairs
     (src/merkle.rs:117-123). 65-byte message -> two blocks."""
