@@ -265,3 +265,69 @@ def test_native_verifier_overflow_header_rejected():
     struct.pack_into("<Q", blob2, 6, 3)
     struct.pack_into("<Q", blob2, 14, 96)
     assert native.verify_proof_blob(bytes(blob2)) is False
+
+
+def test_native_verifier_poseidon2_v5():
+    """v5 (Poseidon2 commitments): native accept across all four protocol
+    shapes, hash-mode mismatch rejection both ways, and byte-flip fuzz
+    agreement with the Python oracle on the base shape."""
+    import random
+
+    from toyni_tpu import proof as proof_mod
+    from toyni_tpu.air import PairFibonacciAir
+    from toyni_tpu.config import StarkConfig
+    from toyni_tpu.prover import StarkProver
+    from toyni_tpu.trace import ExecutionTrace
+    from toyni_tpu.verifier import StarkVerifier
+
+    fibs, a, b = [], 1, 1
+    for _ in range(64):
+        fibs.append(a % P)
+        a, b = b, (a + b) % P
+    t = ExecutionTrace()
+    t.insert_column(fibs)
+
+    cfg = StarkConfig(hash="poseidon2")
+    blob = proof_mod.serialize(
+        StarkProver(t, config=cfg, seed=3).generate_proof()
+    )
+    assert native.verify_proof_blob(blob, cfg) is True
+    assert native.verify_proof_blob(blob) is False       # sha cfg vs v5 blob
+    sha_blob = proof_mod.serialize(StarkProver(t, seed=3).generate_proof())
+    assert native.verify_proof_blob(sha_blob, cfg) is False  # p2 cfg vs v1
+
+    cfge = StarkConfig(hash="poseidon2", ext_challenges=True)
+    bl = proof_mod.serialize(
+        StarkProver(t, config=cfge, seed=4).generate_proof()
+    )
+    assert native.verify_proof_blob(bl, cfge) is True
+
+    pair = PairFibonacciAir()
+    ca, cb = PairFibonacciAir.generate_trace(64)
+    t2 = ExecutionTrace()
+    t2.insert_column(ca)
+    t2.insert_column(cb)
+    blm = proof_mod.serialize(
+        StarkProver(t2, air=pair, config=cfg, seed=5).generate_proof()
+    )
+    assert native.verify_proof_blob(blm, cfg, air=pair) is True
+    blme = proof_mod.serialize(
+        StarkProver(t2, air=pair, config=cfge, seed=6).generate_proof()
+    )
+    assert native.verify_proof_blob(blme, cfge, air=pair) is True
+
+    v = StarkVerifier(config=cfg)
+    rng = random.Random(0x9052)
+    for _ in range(60):
+        bb2 = bytearray(blob)
+        bb2[rng.randrange(len(bb2))] ^= 1 << rng.randrange(8)
+        data = bytes(bb2)
+        try:
+            py_acc = v.verify(proof_mod.deserialize(data))
+        except Exception:
+            py_acc = False
+        try:
+            nat_acc = native.verify_proof_blob(data, cfg)
+        except Exception:
+            nat_acc = False
+        assert py_acc == nat_acc

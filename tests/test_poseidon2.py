@@ -1,0 +1,280 @@
+"""Poseidon2 hash backend: permutation KATs, device==host bit-exactness,
+unrolled==rolled form equivalence, and end-to-end Poseidon2-committed proofs
+(wire format v5) in every protocol mode with tamper rejection.
+
+The reference framework is SHA-256-only (reference: src/merkle.rs:105-123);
+Poseidon2 is this framework's beyond-reference arithmetic-hash mode, so the
+oracle here is the exact-int host implementation (field/poseidon2.py), pinned
+by a generated-parameter KAT.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from toyni_tpu.config import StarkConfig
+from toyni_tpu.field import poseidon2 as hp
+from toyni_tpu.field.babybear import P
+from toyni_tpu.ops import poseidon2 as dp
+from toyni_tpu.trace import ExecutionTrace
+from toyni_tpu.verifier import StarkVerifier
+from toyni_tpu import proof as proof_mod
+
+
+def _fib_trace(rows: int) -> ExecutionTrace:
+    fibs, a, b = [], 1, 1
+    for _ in range(rows):
+        fibs.append(a % P)
+        a, b = b, (a + b) % P
+    t = ExecutionTrace()
+    t.insert_column(fibs)
+    return t
+
+
+# ── permutation / parameters ────────────────────────────────────────────────
+
+def test_perm_kat():
+    """Pin the permutation output for a fixed input: freezes the generated
+    round constants, the internal diagonal, and the round structure. Any
+    change to scripts/gen_poseidon2_params.py output breaks this."""
+    out = hp.h_perm(list(range(16)))
+    # independently recomputed once at test-authoring time from the checked-in
+    # params; the digest-of-output keeps the fixture one line
+    assert hp.h_hash_elems(out) == hp.h_hash_elems(hp.h_perm(list(range(16))))
+    import hashlib
+
+    acc = hashlib.sha256(
+        b"".join(int(v).to_bytes(4, "little") for v in out)
+    ).hexdigest()
+    assert acc == PERM_KAT_SHA256, acc
+
+
+# computed from the checked-in parameters; see test_perm_kat
+PERM_KAT_SHA256 = (
+    "5153d49807891121a9bc35e7cf7fe604d19cbbfae8b824ad2f1e0e75fbf8dc7f"
+)
+
+
+def test_perm_is_permutation_locally():
+    """Distinct inputs map to distinct outputs (spot check) and the S-box
+    exponent is invertible: gcd(7, p-1) = 1."""
+    import math
+
+    assert math.gcd(7, P - 1) == 1
+    a = hp.h_perm([0] * 16)
+    b = hp.h_perm([1] + [0] * 15)
+    assert a != b
+
+
+def test_internal_matrix_irreducibility_witness():
+    """Re-run the generator's irreducibility check on the checked-in
+    diagonal (the security condition for the partial rounds)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "genp2",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "gen_poseidon2_params.py"),
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    from toyni_tpu.field.poseidon2_params import MU_INTERNAL
+
+    f = gen.char_poly_internal(list(MU_INTERNAL))
+    assert gen.is_irreducible(f)
+
+
+# ── device == host oracle ───────────────────────────────────────────────────
+
+def test_device_matches_host_all_leaf_modes():
+    rng = np.random.default_rng(0)
+    N = 13
+    vals = rng.integers(0, P, N).astype(np.uint32)
+    salts = rng.integers(0, P, (N, 4)).astype(np.uint32)
+
+    dev = np.asarray(dp.hash_salted_leaves(jnp.asarray(vals), jnp.asarray(salts)))
+    for i in range(N):
+        assert tuple(dev[i]) == hp.h_leaf_digest(salts[i], [int(vals[i])])
+
+    dev_u = np.asarray(dp.hash_unsalted_leaves(jnp.asarray(vals)))
+    for i in range(N):
+        assert tuple(dev_u[i]) == hp.h_hash_elems([int(vals[i])])
+
+    ev = rng.integers(0, P, (N, 4)).astype(np.uint32)
+    dev_e = np.asarray(dp.hash_salted_leaves_ext(jnp.asarray(ev), jnp.asarray(salts)))
+    dev_eu = np.asarray(dp.hash_unsalted_leaves_ext(jnp.asarray(ev)))
+    for i in range(N):
+        assert tuple(dev_e[i]) == hp.h_leaf_digest(salts[i], ev[i])
+        assert tuple(dev_eu[i]) == hp.h_hash_elems(ev[i])
+
+    # multi: (k, N) column-major, k pushing past one rate block (4+7=11 elems)
+    mv = rng.integers(0, P, (7, N)).astype(np.uint32)
+    dev_m = np.asarray(dp.hash_salted_leaves_multi(jnp.asarray(mv), jnp.asarray(salts)))
+    for i in range(N):
+        assert tuple(dev_m[i]) == hp.h_leaf_digest(salts[i], mv[:, i])
+
+
+def test_device_nodes_match_host():
+    rng = np.random.default_rng(1)
+    L = rng.integers(0, P, (9, 8)).astype(np.uint32)
+    R = rng.integers(0, P, (9, 8)).astype(np.uint32)
+    dev = np.asarray(dp.hash_nodes(jnp.asarray(L), jnp.asarray(R)))
+    for i in range(9):
+        assert tuple(dev[i]) == hp.h_compress(L[i], R[i])
+
+
+def test_unrolled_equals_rolled():
+    """The two lowerings of the permutation are bit-identical. The unrolled
+    form cannot be jit-compiled on XLA:CPU (compile-time pathology — the
+    reason the rolled form exists), so it runs eagerly here."""
+    rng = np.random.default_rng(2)
+    state = [jnp.asarray(rng.integers(0, P, 5).astype(np.uint32))
+             for _ in range(16)]
+    unrolled = dp._perm_unrolled(state)
+    rolled = dp._perm_rolled(jnp.stack(state, axis=0))
+    for i in range(16):
+        np.testing.assert_array_equal(np.asarray(unrolled[i]),
+                                      np.asarray(rolled[i]))
+
+
+def test_device_tree_matches_host_root():
+    from toyni_tpu.merkle import build_salted_device_tree
+
+    rng = np.random.default_rng(3)
+    n = 32
+    vals = rng.integers(0, P, n).astype(np.uint32)
+    salts = rng.integers(0, P, (n, 4)).astype(np.uint32)
+    tree = build_salted_device_tree(jnp.asarray(vals), salts, kind="poseidon2")
+    leaves = [hp.h_leaf_digest(salts[i], [int(vals[i])]) for i in range(n)]
+    assert tree.root() == hp.digest_to_bytes(hp.h_tree_root(leaves))
+
+
+def test_salt_codec_roundtrip():
+    words = (5, 0, P - 1, 12345)
+    assert hp.salt_to_elems(hp.salt_from_words(words)) == words
+    d = tuple(range(8))
+    assert hp.digest_from_bytes(hp.digest_to_bytes(d)) == d
+
+
+# ── end-to-end proofs (wire v5) ─────────────────────────────────────────────
+
+def _prove(rows=64, air=None, **cfg_kw):
+    from toyni_tpu.prover import StarkProver
+
+    cfg = StarkConfig(hash="poseidon2", **cfg_kw)
+    if air is not None:
+        from toyni_tpu.air import PairFibonacciAir
+
+        ca, cb = PairFibonacciAir.generate_trace(rows)
+        t = ExecutionTrace()
+        t.insert_column(ca)
+        t.insert_column(cb)
+    else:
+        t = _fib_trace(rows)
+    pf = StarkProver(t, air=air, config=cfg, seed=11).generate_proof()
+    return pf, StarkVerifier(air=air, config=cfg)
+
+
+def test_e2e_base():
+    pf, v = _prove()
+    assert pf.hash == "poseidon2"
+    assert v.verify(pf)
+    blob = proof_mod.serialize(pf)
+    assert blob[4:6] == (5).to_bytes(2, "little")  # wire v5
+    pf2 = proof_mod.deserialize(blob)
+    assert proof_mod.serialize(pf2) == blob
+    assert v.verify(pf2)
+
+
+def test_e2e_ext():
+    pf, v = _prove(ext_challenges=True)
+    assert v.verify(pf)
+    blob = proof_mod.serialize(pf)
+    assert v.verify(proof_mod.deserialize(blob))
+
+
+def test_e2e_multi():
+    from toyni_tpu.air import PairFibonacciAir
+
+    pf, v = _prove(air=PairFibonacciAir())
+    assert v.verify(pf)
+    blob = proof_mod.serialize(pf)
+    assert v.verify(proof_mod.deserialize(blob))
+
+
+def test_e2e_multi_ext():
+    from toyni_tpu.air import PairFibonacciAir
+
+    pf, v = _prove(air=PairFibonacciAir(), ext_challenges=True)
+    assert v.verify(pf)
+    blob = proof_mod.serialize(pf)
+    assert v.verify(proof_mod.deserialize(blob))
+
+
+def test_tampering_rejected():
+    pf, v = _prove()
+    blob = proof_mod.serialize(pf)
+
+    bad = proof_mod.deserialize(blob)
+    bad.q_z = (bad.q_z + 1) % P
+    assert not v.verify(bad)
+
+    bad = proof_mod.deserialize(blob)
+    bad.trace_commitment = (
+        bytes([bad.trace_commitment[0] ^ 1]) + bad.trace_commitment[1:]
+    )
+    assert not v.verify(bad)
+
+    bad = proof_mod.deserialize(blob)
+    op = bad.query_proofs[0].deep_opening
+    op.value = (op.value + 1) % P
+    assert not v.verify(bad)
+
+    bad = proof_mod.deserialize(blob)
+    bad.fri_final_layer[0] = (bad.fri_final_layer[0] + 1) % P
+    assert not v.verify(bad)
+
+    bad = proof_mod.deserialize(blob)
+    op = bad.query_proofs[3].trace_opening
+    op.salt = bytes(16)
+    assert not v.verify(bad)
+
+
+def test_hash_mode_mismatch_rejected():
+    pf, _ = _prove()
+    assert not StarkVerifier().verify(pf)  # SHA-config verifier, p2 proof
+    from toyni_tpu.prover import StarkProver
+
+    sha_pf = StarkProver(_fib_trace(64), seed=11).generate_proof()
+    assert not StarkVerifier(config=StarkConfig(hash="poseidon2")).verify(sha_pf)
+
+
+def test_golden_digest():
+    """Pin the full proof bytes for a fixed seed: the p2-mode analog of
+    tests/test_golden.py — any change to the permutation, tree/leaf
+    encodings, salts, or wire format v5 shows up here."""
+    import hashlib
+
+    pf, v = _prove()
+    blob = proof_mod.serialize(pf)
+    assert v.verify(pf)
+    digest = hashlib.sha256(blob).hexdigest()
+    assert digest == GOLDEN_P2_SHA256, digest
+
+
+GOLDEN_P2_SHA256 = (
+    "fbbd0668de94cb211244489f540131875f24c652c01519617834138b8a18a046"
+)
+
+
+def test_unsupported_provers_raise():
+    from toyni_tpu.prover_fused import FusedStarkProver
+    from toyni_tpu.batch import BatchStarkProver
+
+    cfg = StarkConfig(hash="poseidon2")
+    t = _fib_trace(64)
+    with pytest.raises(NotImplementedError):
+        FusedStarkProver(t, config=cfg, seed=1).generate_proof()
+    with pytest.raises(NotImplementedError):
+        BatchStarkProver([t], config=cfg, seeds=[1]).generate_proofs()

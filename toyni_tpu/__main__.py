@@ -64,11 +64,15 @@ def cmd_prove(args) -> int:
     from toyni_tpu.prover import StarkProver
 
     air, t, deg = _make_air(args.air, args.rows)
-    cfg = StarkConfig(ext_challenges=args.ext, constraint_degree=deg)
+    cfg = StarkConfig(ext_challenges=args.ext, constraint_degree=deg,
+                      hash=args.hash)
     # default = the measured per-size winner (PERF.md round-2 table): the
     # fused single-dispatch prover at small traces (0.42 vs 0.65 s/proof at
-    # 2^8 on v5e), the phase prover at large ones
-    use_fused = args.fused or (not args.phase and args.rows <= (1 << 12))
+    # 2^8 on v5e), the phase prover at large ones. Poseidon2 commitments run
+    # on the phase prover (the fused prover's on-device transcript is
+    # SHA-only so far).
+    use_fused = (args.fused or (not args.phase and args.rows <= (1 << 12))) \
+        and cfg.hash == "sha256"
     if use_fused:
         from toyni_tpu.prover_fused import FusedStarkProver as prover_cls
     else:
@@ -98,7 +102,8 @@ def cmd_verify(args) -> int:
     from toyni_tpu.config import StarkConfig
 
     air, _, deg = _make_air(args.air, proof.trace_len)
-    cfg = StarkConfig(ext_challenges=bool(proof.ext), constraint_degree=deg)
+    cfg = StarkConfig(ext_challenges=bool(proof.ext), constraint_degree=deg,
+                      hash=proof.hash)
     t0 = time.perf_counter()
     if args.native:
         from toyni_tpu import native
@@ -166,6 +171,11 @@ def main(argv=None) -> int:
     pp.add_argument(
         "--ext", action="store_true",
         help="extension-field soundness mode (z, betas from F_p^4)",
+    )
+    pp.add_argument(
+        "--hash", choices=("sha256", "poseidon2"), default="sha256",
+        help="Merkle commitment hash: sha256 (reference-exact) or poseidon2 "
+             "(arithmetic hash over BabyBear; wire format v5)",
     )
     pp.add_argument(
         "--fused", action="store_true",

@@ -478,6 +478,11 @@ class BatchStarkProver:
 
     def generate_proofs(self) -> list:
         cfg = self.config
+        if cfg.hash != "sha256":
+            raise NotImplementedError(
+                "BatchStarkProver commits with SHA-256 only so far; use "
+                "StarkProver for Poseidon2 commitments"
+            )
         ext = cfg.ext_challenges
         k = getattr(self.air, "num_columns", 1)
         nc = getattr(self.air, "num_constraints", 1)

@@ -27,6 +27,13 @@ class StarkConfig:
     # and documents this intent (src/ext.rs:1-12) but its own pipeline stays
     # base-field; False reproduces the reference protocol byte-for-byte.
     ext_challenges: bool = False
+    # Merkle hash backend: "sha256" (the reference's hash, byte-exact
+    # transcripts — src/merkle.rs:105-123) or "poseidon2" (arithmetic hash
+    # over BabyBear: rounds are field ops on the VPU and digests are field
+    # elements, the property recursive verification needs; wire format v5).
+    # The Fiat-Shamir transcript stays SHA-256 either way — only the
+    # commitment trees change.
+    hash: str = "sha256"
     # Algebraic degree of the composed constraint in the trace polynomials.
     # Both reference constraints are LINEAR in T (the Fibonacci transition is
     # T(g^2 x) - T(g x) - T(x) times degree-2 boundary factors,

@@ -26,6 +26,21 @@ import jax.numpy as jnp
 from .ops import sha256 as sha
 
 
+def _hash_backend(kind: str):
+    """Device hash module for a tree kind: 'sha256' (the reference's hash,
+    src/merkle.rs:105-123) or 'poseidon2' (the arithmetic-hash mode,
+    ops/poseidon2.py). Both expose the same entry-point names and (..., 8)
+    u32 digest arrays; they differ in leaf/node functions and in the
+    digest byte codec (BE words for SHA-256, LE words for Poseidon2)."""
+    if kind == "sha256":
+        return sha
+    if kind == "poseidon2":
+        from .ops import poseidon2 as p2
+
+        return p2
+    raise ValueError(f"unknown hash kind: {kind!r}")
+
+
 @dataclass
 class MerkleProof:
     """Sibling path bottom-up; position[i] True = sibling is on the LEFT of
@@ -116,11 +131,13 @@ class DeviceTree:
     the 64-round serial dependency chain does not pipeline under Mosaic; see
     PERF.md "SHA-256 / Merkle".)"""
 
-    def __init__(self, levels: list, has_leaf_level: bool = True):
+    def __init__(self, levels: list, has_leaf_level: bool = True,
+                 kind: str = "sha256"):
         self.levels = levels
         # Huge trees drop the stored leaf-digest level (1 GB at 2^25 leaves);
         # query-time sibling leaf digests are recomputed from value + salt.
         self.has_leaf_level = has_leaf_level
+        self.kind = kind
         self._root = None
 
     @property
@@ -135,7 +152,7 @@ class DeviceTree:
 
     def root(self) -> bytes:
         if self._root is None:
-            self._root = sha.digest_bytes(
+            self._root = _hash_backend(self.kind).digest_bytes(
                 np.asarray(self.levels[-1][0], np.uint32)
             )
         return self._root
@@ -146,50 +163,56 @@ LEAFLESS_MIN = 1 << 22
 
 
 @functools.lru_cache(maxsize=64)
-def _tree_builder(n_leaves: int, salted: bool, ext: bool = False):
-    """One jitted program per (leaf count, salted, ext): leaf hashing + every
-    level, a SINGLE device dispatch per tree build. Dispatch count is the
-    scarce resource on a remote-attached device (~25 ms per round trip on
-    this deployment's tunnel); compiles are amortized by the persistent
-    compilation cache."""
+def _tree_builder(n_leaves: int, salted: bool, ext: bool = False,
+                  kind: str = "sha256"):
+    """One jitted program per (leaf count, salted, ext, hash kind): leaf
+    hashing + every level, a SINGLE device dispatch per tree build. Dispatch
+    count is the scarce resource on a remote-attached device (~25 ms per
+    round trip on this deployment's tunnel); compiles are amortized by the
+    persistent compilation cache."""
     import jax
 
+    h = _hash_backend(kind)
     # only salted trees drop leaves (unsalted trees in this protocol are the
     # tiny final FRI layer, and the unsalted gather path assumes level 0)
     keep_leaves = n_leaves < LEAFLESS_MIN or not salted
-    leaf_salted = sha.hash_salted_leaves_ext if ext else sha.hash_salted_leaves
-    leaf_plain = sha.hash_unsalted_leaves_ext if ext else sha.hash_unsalted_leaves
+    leaf_salted = h.hash_salted_leaves_ext if ext else h.hash_salted_leaves
+    leaf_plain = h.hash_unsalted_leaves_ext if ext else h.hash_unsalted_leaves
     if salted:
         def f(values, salts_dev):
-            lv = _device_levels(leaf_salted(values, salts_dev))
+            lv = _device_levels(leaf_salted(values, salts_dev), kind)
             return lv if keep_leaves else lv[1:]
     else:
         def f(values):
-            lv = _device_levels(leaf_plain(values))
+            lv = _device_levels(leaf_plain(values), kind)
             return lv if keep_leaves else lv[1:]
     return jax.jit(f)
 
 
-def build_salted_device_tree(values: jnp.ndarray, salts, ext: bool = False) -> DeviceTree:
-    fn = _tree_builder(values.shape[0], True, ext)
+def build_salted_device_tree(values: jnp.ndarray, salts, ext: bool = False,
+                             kind: str = "sha256") -> DeviceTree:
+    fn = _tree_builder(values.shape[0], True, ext, kind)
     return DeviceTree(
         fn(values, jnp.asarray(salts)),
         has_leaf_level=values.shape[0] < LEAFLESS_MIN,
+        kind=kind,
     )
 
 
-def build_unsalted_device_tree(values: jnp.ndarray, ext: bool = False) -> DeviceTree:
-    fn = _tree_builder(values.shape[0], False, ext)
-    return DeviceTree(fn(values), has_leaf_level=True)
+def build_unsalted_device_tree(values: jnp.ndarray, ext: bool = False,
+                               kind: str = "sha256") -> DeviceTree:
+    fn = _tree_builder(values.shape[0], False, ext, kind)
+    return DeviceTree(fn(values), has_leaf_level=True, kind=kind)
 
 
-def _device_levels(leaf_digests: jnp.ndarray) -> list:
+def _device_levels(leaf_digests: jnp.ndarray, kind: str = "sha256") -> list:
+    h = _hash_backend(kind)
     levels = [leaf_digests]
     cur = leaf_digests
     while cur.shape[0] > 1:
         if cur.shape[0] % 2 == 1:
             cur = jnp.concatenate([cur, cur[-1:]], axis=0)
-        cur = sha.hash_nodes(cur[0::2], cur[1::2])
+        cur = h.hash_nodes(cur[0::2], cur[1::2])
         levels.append(cur)
     return levels
 
@@ -207,14 +230,18 @@ def extract_paths(levels: list, indices: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(out, axis=1)
 
 
-def openings_from_paths(indices, paths_np, depth: int) -> list:
-    """Host assembly: (Q, depth, 8) path words -> list[MerkleProof]."""
+def openings_from_paths(indices, paths_np, depth: int,
+                        kind: str = "sha256") -> list:
+    """Host assembly: (Q, depth, 8) path words -> list[MerkleProof].
+    `kind` picks the digest byte codec (BE words for SHA-256, LE for
+    Poseidon2)."""
+    to_bytes = _hash_backend(kind).digest_bytes
     proofs = []
     for qi, path in zip(indices, paths_np):
         p, pos = [], []
         idx = qi
         for l in range(depth):
-            p.append(sha.digest_bytes(path[l]))
+            p.append(to_bytes(path[l]))
             pos.append(idx % 2 == 1)
             idx //= 2
         proofs.append(MerkleProof(p, pos))

@@ -41,7 +41,12 @@ def load():
         return _lib
     if _build_failed:  # don't re-pay a failed compile on every call
         return None
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    _hdr = os.path.join(os.path.dirname(_SRC), "poseidon2_params.h")
+    _newest_src = max(
+        os.path.getmtime(_SRC),
+        os.path.getmtime(_hdr) if os.path.exists(_hdr) else 0,
+    )
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < _newest_src:
         if not _build():
             _build_failed = True
             return None
@@ -59,7 +64,7 @@ def load():
     lib.merkle_verify.argtypes = [u8p, u64, u8p, u8p, u64, u8p]
     lib.merkle_verify.restype = ctypes.c_int
     lib.stark_verify_v1.argtypes = [u8p, u64, u64, u64, u64, u64,
-                                    ctypes.c_int, ctypes.c_int]
+                                    ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.stark_verify_v1.restype = ctypes.c_int
     _lib = lib
     return _lib
@@ -158,14 +163,15 @@ def _air_id(air) -> int:
 
 
 def verify_proof_blob(blob: bytes, config=None, air=None) -> bool:
-    """Full native verification of a SERIALIZED proof (wire v1-v4) for a
+    """Full native verification of a SERIALIZED proof (wire v1-v5) for a
     bundled AIR: the reference protocol (Fibonacci, v1), its ext-challenge
-    mode (v2), and the multi-column/multi-constraint formats (v3/v4 with
-    PairFibonacci or SboxChain). Parses, replays the transcript, and runs
-    every check of toyni_tpu/verifier.py in C — the production host-verify
-    path; the Python verifier remains the bit-exactness oracle
-    (differential-tested, incl. the tamper fuzz). Raises ValueError on a
-    malformed blob (mirroring proof.deserialize)."""
+    mode (v2), the multi-column/multi-constraint formats (v3/v4 with
+    PairFibonacci or SboxChain), and the Poseidon2-commitment format (v5,
+    any shape). Parses, replays the transcript, and runs every check of
+    toyni_tpu/verifier.py in C — the production host-verify path; the
+    Python verifier remains the bit-exactness oracle (differential-tested,
+    incl. the tamper fuzz). Raises ValueError on a malformed blob
+    (mirroring proof.deserialize)."""
     import struct
 
     from ..config import DEFAULT_CONFIG
@@ -174,16 +180,19 @@ def verify_proof_blob(blob: bytes, config=None, air=None) -> bool:
     lib = load()
     if lib is None:
         raise RuntimeError("native runtime unavailable (no C++ toolchain)")
-    if len(blob) < 14:
+    if len(blob) < 16:
         raise ValueError("truncated proof")
     # the C side validates trace_len (clean reject 0 — same verdict the
-    # Python verifier gives); only peek it here for the final-size formula
-    n = struct.unpack_from("<Q", blob, 6)[0]
+    # Python verifier gives); only peek it here for the final-size formula.
+    # v5 inserts a u16 flags field before trace_len.
+    version = struct.unpack_from("<H", blob, 4)[0]
+    n = struct.unpack_from("<Q", blob, 8 if version == 5 else 6)[0]
     final_size = cfg.final_layer_size(n) if n else 0
     b = np.frombuffer(blob, np.uint8)
     rc = lib.stark_verify_v1(
         _u8p(b), len(blob), cfg.num_queries, cfg.blowup, cfg.coset_shift,
         final_size, int(bool(cfg.ext_challenges)), _air_id(air),
+        int(getattr(cfg, "hash", "sha256") != "sha256"),
     )
     if rc < 0:
         raise ValueError("corrupt proof blob")

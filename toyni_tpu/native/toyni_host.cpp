@@ -221,6 +221,101 @@ int merkle_verify(const uint8_t* leaf, uint64_t leaf_len,
 
 } // extern "C"
 
+// ── Poseidon2 over BabyBear (width 16, x^7) ─────────────────────────────────
+//
+// Exact scalar twin of the Python host oracle (toyni_tpu/field/poseidon2.py)
+// for the v5 wire format's Merkle commitments. Parameters are generated by
+// scripts/gen_poseidon2_params.py into poseidon2_params.h (same tables as
+// field/poseidon2_params.py).
+
+#include "poseidon2_params.h"
+
+static inline uint64_t p2_sbox(uint64_t x) {
+    uint64_t x2 = bb_mul(x, x);
+    uint64_t x4 = bb_mul(x2, x2);
+    return bb_mul(bb_mul(x4, x2), x); // x^7
+}
+
+static void p2_matmul_external(uint64_t s[16]) {
+    uint64_t y[16];
+    for (int b = 0; b < 16; b += 4) {
+        uint64_t t0 = bb_add(s[b], s[b + 1]);
+        uint64_t t1 = bb_add(s[b + 2], s[b + 3]);
+        uint64_t t2 = bb_add(bb_add(s[b + 1], s[b + 1]), t1);
+        uint64_t t3 = bb_add(bb_add(s[b + 3], s[b + 3]), t0);
+        uint64_t t4 = bb_add(bb_add(bb_add(t1, t1), bb_add(t1, t1)), t3);
+        uint64_t t5 = bb_add(bb_add(bb_add(t0, t0), bb_add(t0, t0)), t2);
+        y[b] = bb_add(t3, t5);
+        y[b + 1] = t5;
+        y[b + 2] = bb_add(t2, t4);
+        y[b + 3] = t4;
+    }
+    for (int j = 0; j < 4; j++) {
+        uint64_t sum = bb_add(bb_add(y[j], y[4 + j]), bb_add(y[8 + j], y[12 + j]));
+        for (int b = 0; b < 16; b += 4) s[b + j] = bb_add(y[b + j], sum);
+    }
+}
+
+static void p2_matmul_internal(uint64_t s[16]) {
+    uint64_t tot = 0;
+    for (int i = 0; i < 16; i++) tot = bb_add(tot, s[i]);
+    for (int i = 0; i < 16; i++)
+        s[i] = bb_add(tot, bb_mul(s[i], (P2_MU[i] + P - 1) % P));
+}
+
+static void p2_perm(uint64_t s[16]) {
+    p2_matmul_external(s);
+    for (int r = 0; r < P2_RF / 2; r++) {
+        for (int i = 0; i < 16; i++) s[i] = p2_sbox(bb_add(s[i], P2_RC_EXT[r][i]));
+        p2_matmul_external(s);
+    }
+    for (int r = 0; r < P2_RP; r++) {
+        s[0] = p2_sbox(bb_add(s[0], P2_RC_INT[r]));
+        p2_matmul_internal(s);
+    }
+    for (int r = P2_RF / 2; r < P2_RF; r++) {
+        for (int i = 0; i < 16; i++) s[i] = p2_sbox(bb_add(s[i], P2_RC_EXT[r][i]));
+        p2_matmul_external(s);
+    }
+}
+
+// Padding-free sponge, rate 8, capacity lane 15 = message length (the leaf
+// hash; field/poseidon2.py:h_hash_elems). Inputs reduced mod p by callers.
+static void p2_sponge(const uint64_t* elems, uint32_t n, uint64_t out[8]) {
+    uint64_t s[16] = {0};
+    s[15] = n % P;
+    uint32_t off = 0;
+    do {
+        uint32_t chunk = n - off < 8 ? n - off : 8;
+        for (uint32_t i = 0; i < chunk; i++) s[i] = elems[off + i];
+        p2_perm(s);
+        off += 8;
+    } while (off < n);
+    for (int i = 0; i < 8; i++) out[i] = s[i];
+}
+
+// 2-to-1 node compression: truncate(perm(L || R)).
+static void p2_compress(const uint64_t l[8], const uint64_t r[8], uint64_t out[8]) {
+    uint64_t s[16];
+    for (int i = 0; i < 8; i++) { s[i] = l[i] % P; s[8 + i] = r[i] % P; }
+    p2_perm(s);
+    for (int i = 0; i < 8; i++) out[i] = s[i];
+}
+
+// digest codec: 8 field elements <-> 32 bytes of 4-byte LE words
+static void p2_digest_bytes(const uint64_t d[8], uint8_t out[32]) {
+    for (int w = 0; w < 8; w++)
+        for (int b = 0; b < 4; b++) out[w * 4 + b] = uint8_t(d[w] >> (8 * b));
+}
+
+static void p2_digest_words(const uint8_t* bytes32, uint64_t out[8]) {
+    for (int w = 0; w < 8; w++) {
+        uint64_t v = 0;
+        for (int b = 3; b >= 0; b--) v = (v << 8) | bytes32[w * 4 + b];
+        out[w] = v % P; // the host oracle reduces digest words on absorb
+    }
+}
+
 // ── STARK verifier (wire format v1 — the reference protocol) ────────────────
 //
 // A complete native verifier for base-field single-column proofs: parses the
@@ -390,11 +485,13 @@ static bool read_opening(Reader& r, Op& op, bool v2) {
     return r.ok;
 }
 
-// Leaf = salt || value 8-byte LE; position binding: stored index, the path
+// Leaf = salt || value 8-byte LE (SHA-256) or sponge(salt elems || value
+// elems) (Poseidon2, wire v5); position binding: stored index, the path
 // flags (LSB-first bits of the index), and the full tree depth must all
 // match (toyni_tpu/verifier.py:_verify_opening).
 static bool op_verify(const Op& op, const uint8_t* root,
-                      uint64_t expected_index, uint64_t tree_size) {
+                      uint64_t expected_index, uint64_t tree_size,
+                      bool p2 = false) {
     if (op.index != expected_index) return false;
     for (uint32_t l = 0; l < op.path_len; l++)
         // flag parse matches proof.py: the byte is True iff exactly 0x01
@@ -404,6 +501,39 @@ static bool op_verify(const Op& op, const uint8_t* root,
     uint32_t depth = 0;
     while (ts) { depth++; ts >>= 1; }
     if (op.path_len != depth) return false;
+
+    if (p2) {
+        // Poseidon2 leaf: salt = 4 BE u32 field elements (16 bytes or
+        // absent), value = the serialized limbs reduced mod p
+        if (op.salt_len != 0 && op.salt_len != 16) return false;
+        std::vector<uint64_t> elems;
+        elems.reserve(4 + op.nlimbs);
+        for (uint32_t i = 0; i < op.salt_len / 4; i++) {
+            uint64_t w = 0;
+            for (int b = 0; b < 4; b++) w = (w << 8) | op.salt[i * 4 + b];
+            if (w >= P) return false; // verifier.py rejects non-field salts
+            elems.push_back(w);
+        }
+        for (uint32_t i = 0; i < op.nlimbs; i++) {
+            uint64_t v = 0;
+            for (int b = 7; b >= 0; b--)
+                v = (v << 8) | op.value_raw[i * 8 + b];
+            elems.push_back(v % P); // h_hash_elems reduces
+        }
+        uint64_t cur[8];
+        p2_sponge(elems.data(), (uint32_t)elems.size(), cur);
+        for (uint32_t i = 0; i < op.path_len; i++) {
+            uint64_t sib[8];
+            p2_digest_words(op.path + i * 33, sib);
+            uint64_t next[8];
+            if (op.path[i * 33 + 32] == 0x01) p2_compress(sib, cur, next);
+            else p2_compress(cur, sib, next);
+            memcpy(cur, next, sizeof(next));
+        }
+        uint8_t got[32];
+        p2_digest_bytes(cur, got);
+        return memcmp(got, root, 32) == 0;
+    }
 
     uint8_t cur[32];
     {
@@ -459,15 +589,17 @@ struct Transcript {
 
 extern "C" {
 
-// Verify a serialized v1-v4 proof for a BUNDLED AIR. air_id: 0 = Fibonacci
+// Verify a serialized v1-v5 proof for a BUNDLED AIR. air_id: 0 = Fibonacci
 // (the reference protocol, wire v1/v2), 1 = PairFibonacci (k=2, nc=2, ns=2),
-// 2 = SboxChain (x^7, ns=2) — the multi formats v3/v4. Returns 1 accept,
-// 0 reject, -1 parse error. `final_size` comes from the Python config
-// (StarkConfig.final_layer_size); `expect_ext` from cfg.ext_challenges.
+// 2 = SboxChain (x^7, ns=2) — the multi formats v3/v4. Wire v5 = Poseidon2
+// commitments with a flags header (bit 0 ext, bit 1 multi). Returns 1
+// accept, 0 reject, -1 parse error. `final_size` comes from the Python
+// config (StarkConfig.final_layer_size); `expect_ext` from
+// cfg.ext_challenges; `expect_p2` from cfg.hash == "poseidon2".
 int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
                     uint64_t num_queries, uint64_t blowup,
                     uint64_t coset_shift, uint64_t final_size,
-                    int expect_ext, int air_id) {
+                    int expect_ext, int air_id, int expect_p2) {
     using namespace sv;
     // bundled-AIR shapes (k columns, nc constraints, ns shifted openings)
     uint32_t AK = 1, ANC = 1, ANS = 3;
@@ -480,9 +612,19 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
     const uint8_t* magic = r.bytes(4);
     if (!magic || memcmp(magic, "TSTK", 4) != 0) return -1;
     uint16_t version = r.u16();
-    if (version < 1 || version > 4) return -1;
-    bool ext = (version == 2 || version == 4);
-    bool wire_multi = (version >= 3);
+    if (version < 1 || version > 5) return -1;
+    bool p2 = (version == 5);
+    bool ext, wire_multi;
+    if (p2) {
+        uint16_t flags = r.u16();
+        if (!r.ok || (flags & ~uint16_t(3))) return -1; // unknown flags
+        ext = (flags & 1) != 0;
+        wire_multi = (flags & 2) != 0;
+    } else {
+        ext = (version == 2 || version == 4);
+        wire_multi = (version >= 3);
+    }
+    if ((p2 ? 1 : 0) != (expect_p2 ? 1 : 0)) return 0; // hash-mode mismatch
     uint64_t n = r.u64(), N = r.u64();
     uint16_t w_k = 1, w_ns = 3;
     if (wire_multi) {
@@ -608,7 +750,33 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
     for (uint32_t i = 1; i < final_len; i++)
         for (uint32_t l = 0; l < SL; l++)
             if (final_layer[i].c[l] != final_layer[0].c[l]) return 0;
-    {
+    if (p2) {
+        // unsalted Poseidon2 final-layer root: leaf = sponge(value elems)
+        std::vector<uint64_t> digests((uint64_t)final_len * 8);
+        for (uint32_t i = 0; i < final_len; i++) {
+            uint64_t elems[4];
+            for (uint32_t l = 0; l < SL; l++)
+                elems[l] = final_layer[i].c[l] % P;
+            p2_sponge(elems, SL, digests.data() + (uint64_t)i * 8);
+        }
+        uint64_t cnt = final_len;
+        std::vector<uint64_t> next;
+        while (cnt > 1) {
+            uint64_t half = (cnt + 1) / 2;
+            next.resize(half * 8);
+            for (uint64_t i = 0; i < half; i++) {
+                const uint64_t* l = digests.data() + (2 * i) * 8;
+                const uint64_t* rr =
+                    (2 * i + 1 < cnt) ? digests.data() + (2 * i + 1) * 8 : l;
+                p2_compress(l, rr, next.data() + i * 8);
+            }
+            digests.swap(next);
+            cnt = half;
+        }
+        uint8_t got[32];
+        p2_digest_bytes(digests.data(), got);
+        if (memcmp(got, fri_c + (uint64_t)(n_fri - 1) * 32, 32)) return 0;
+    } else {
         // unsalted final-layer root (leaf = raw value limbs LE, tag 0x00)
         std::vector<uint8_t> digests((uint64_t)final_len * 32);
         uint8_t leaf[1 + 32];
@@ -683,7 +851,7 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
 
     // ── per-query checks (verifier.rs:105-229) ──────────────────────────
     // wire v2 opening encoding (limb-count prefix) for ext AND multi formats
-    bool v2enc = ext || wire_multi;
+    bool v2enc = ext || wire_multi || p2;
     for (uint64_t q = 0; q < n_queries; q++) {
         uint64_t stored_index = r.u64();
         Op deep, deep_pair, quot;
@@ -711,12 +879,12 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
             // (verifier.py checks len(v) == k before the Merkle proof)
             if (trace_ops[s].nlimbs != K) return 0;
             if (!op_verify(trace_ops[s], trace_c,
-                           (qi + (uint64_t)s * blowup) % N, N))
+                           (qi + (uint64_t)s * blowup) % N, N, p2))
                 return 0;
         }
-        if (!op_verify(quot, quot_c, qi, N)) return 0;
-        if (!op_verify(deep, fri_c, qi, N)) return 0;
-        if (!op_verify(deep_pair, fri_c, qi + half0, N)) return 0;
+        if (!op_verify(quot, quot_c, qi, N, p2)) return 0;
+        if (!op_verify(deep, fri_c, qi, N, p2)) return 0;
+        if (!op_verify(deep_pair, fri_c, qi + half0, N, p2)) return 0;
         if (quot.nlimbs != 1) return 0; // base int (tuple => Python raises)
         if (ext) {
             // ext-value slots that shape the fold algebra need >= 4 limbs
@@ -754,10 +922,11 @@ int stark_verify_v1(const uint8_t* blob, uint64_t blob_len,
             bool in_first_half = (pos == lo);
             const Op& op = fri_ops[2 * layer];
             const Op& op_pair = fri_ops[2 * layer + 1];
-            if (!op_verify(op, fri_c + (uint64_t)fold_k * 32, lo, layer_size))
+            if (!op_verify(op, fri_c + (uint64_t)fold_k * 32, lo,
+                           layer_size, p2))
                 return 0;
             if (!op_verify(op_pair, fri_c + (uint64_t)fold_k * 32, lo + half,
-                           layer_size))
+                           layer_size, p2))
                 return 0;
             if (in_first_half) {
                 if (!val_eq(op, prev)) return 0;

@@ -713,6 +713,11 @@ class DistributedStarkProver:
 
     def generate_proof(self) -> StarkProof:
         cfg = self.config
+        if cfg.hash != "sha256":
+            raise NotImplementedError(
+                "DistributedStarkProver commits with SHA-256 only so far; "
+                "use StarkProver for Poseidon2 commitments"
+            )
         D = self.D
         n = self.trace.num_rows
         air = self.air

@@ -69,6 +69,9 @@ class StarkProof:
     ood_trace: tuple = None
     num_columns: int = 1
     num_shifts: int = 3
+    # Merkle hash backend the commitments were built with ("sha256" — the
+    # reference's hash — or "poseidon2"); see StarkConfig.hash.
+    hash: str = "sha256"
 
 
 # ── serialization (wire formats v1 / v2) ────────────────────────────────────
@@ -92,11 +95,22 @@ class StarkProof:
 # v4 = v3 + ext_challenges: OOD/final-layer/DEEP/FRI scalars are 32-byte
 # ext values (trace openings stay k-tuples of base values).
 
+# v5 (Poseidon2 commitments, any protocol shape) replaces the version-enum
+# encoding of the mode with an explicit u16 flags field right after the
+# version (bit 0 = ext_challenges, bit 1 = multi) and always uses the
+# limb-prefixed opening encoding + the v3 header extras when multi. Digest
+# widths are unchanged (a Poseidon2 digest is 8 BabyBear elements = 32
+# bytes LE), so everything after the header is structurally identical to
+# v1-v4. SHA-256 proofs keep serializing as v1-v4 byte-for-byte.
+
 _MAGIC = b"TSTK"
 _VERSION = 1
 _VERSION_EXT = 2
 _VERSION_MULTI = 3
 _VERSION_MULTI_EXT = 4
+_VERSION_P2 = 5
+_FLAG_EXT = 1
+_FLAG_MULTI = 2
 
 
 def _w_scalar(buf, v, ext: bool):
@@ -185,14 +199,20 @@ def _read_opening(buf, v2: bool = False) -> MerkleOpening:
 
 def serialize(proof: StarkProof) -> bytes:
     multi = proof.ood_trace is not None
-    v2 = proof.ext or multi  # limb-prefixed opening encoding
+    p2 = proof.hash != "sha256"
+    v2 = proof.ext or multi or p2  # limb-prefixed opening encoding
     buf = io.BytesIO()
     buf.write(_MAGIC)
-    if multi:
+    if p2:
+        version = _VERSION_P2
+    elif multi:
         version = _VERSION_MULTI_EXT if proof.ext else _VERSION_MULTI
     else:
         version = _VERSION_EXT if proof.ext else _VERSION
     _w_u16(buf, version)
+    if p2:
+        _w_u16(buf, (_FLAG_EXT if proof.ext else 0)
+               | (_FLAG_MULTI if multi else 0))
     _w_u64(buf, proof.trace_len)
     _w_u64(buf, proof.lde_size)
     if multi:
@@ -240,11 +260,19 @@ def deserialize(data: bytes) -> StarkProof:
         raise ValueError("bad magic")
     version = _r_u16(buf)
     if version not in (_VERSION, _VERSION_EXT, _VERSION_MULTI,
-                       _VERSION_MULTI_EXT):
+                       _VERSION_MULTI_EXT, _VERSION_P2):
         raise ValueError("unsupported proof version")
-    ext = version in (_VERSION_EXT, _VERSION_MULTI_EXT)
-    multi = version in (_VERSION_MULTI, _VERSION_MULTI_EXT)
-    v2 = ext or multi
+    p2 = version == _VERSION_P2
+    if p2:
+        flags = _r_u16(buf)
+        if flags & ~(_FLAG_EXT | _FLAG_MULTI):
+            raise ValueError("unknown proof flags")
+        ext = bool(flags & _FLAG_EXT)
+        multi = bool(flags & _FLAG_MULTI)
+    else:
+        ext = version in (_VERSION_EXT, _VERSION_MULTI_EXT)
+        multi = version in (_VERSION_MULTI, _VERSION_MULTI_EXT)
+    v2 = ext or multi or p2
     trace_len = _r_u64(buf)
     lde_size = _r_u64(buf)
     k = _r_u16(buf) if multi else 1
@@ -294,4 +322,5 @@ def deserialize(data: bytes) -> StarkProof:
         trace_len, lde_size, trace_commitment, quotient_commitment,
         t_z, t_gz, t_ggz, q_z, fri_commitments, fri_final_layer, query_proofs,
         ext=ext, ood_trace=ood_trace, num_columns=k, num_shifts=ns,
+        hash="poseidon2" if p2 else "sha256",
     )

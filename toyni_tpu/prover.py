@@ -107,7 +107,8 @@ def _d2h(x) -> np.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
-               ext: bool = False, final_size: int = 0, num_queries: int = 0):
+               ext: bool = False, final_size: int = 0, num_queries: int = 0,
+               hash_kind: str = "sha256"):
     """Jitted device phases (one dispatch each) for trace length n.
 
     On a remote-attached device every dispatch costs a ~25 ms round trip, so
@@ -118,9 +119,16 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
     recompile every proof.
     """
     from .domain import _shift_tables
-    from .merkle import _device_levels
-    from .ops import sha256 as sha
+    from .merkle import _device_levels as _levels_raw, _hash_backend
     from .ops.ntt import apply_ntt, ntt_tables
+
+    # hash backend for every committed tree (leaf + node hashing inside the
+    # fused programs); `sha` is the historical local name — it binds either
+    # the SHA-256 or the Poseidon2 module, same entry-point surface
+    sha = _hash_backend(hash_kind)
+
+    def _device_levels(leaves):
+        return _levels_raw(leaves, hash_kind)
 
     domain = Domain.new(n)
     shifted = Domain.new(N).get_coset(coset_shift)
@@ -269,8 +277,6 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
     def gather_salted_leafless(levels, values, salts, idx):
         """levels start at tree level 1 (leaf digests not stored); the level-0
         sibling digest is recomputed from the sibling's value + salt."""
-        from .ops import sha256 as sha
-
         vals = jnp.take(values, idx)
         sib = idx ^ 1
         sib_digest = sha.hash_salted_leaves(
@@ -558,8 +564,6 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         return vals, extract_paths(levels, idx), jnp.take(salts, idx, axis=0)
 
     def gather_salted_leafless_ext(levels, values, salts, idx):
-        from .ops import sha256 as sha
-
         vals = jnp.take(values, idx, axis=0)
         sib = idx ^ 1
         sib_digest = sha.hash_salted_leaves_ext(
@@ -602,9 +606,18 @@ class StarkProver:
         SHA-256 block construction directly, and transferring host salts would
         cost 16 B/leaf of tunnel bandwidth per committed layer. Only the
         <=3*num_queries opened salts ever reach the host (query-time gather);
-        their canonical byte form is the BE bytes of the 4 words."""
+        their canonical byte form is the BE bytes of the 4 words.
+
+        Poseidon2 mode: salt words are FIELD ELEMENTS (the leaf sponge
+        absorbs them as BabyBear lanes) — mask to 31 bits and conditionally
+        subtract p. ~30.97 bits of entropy per word, ~124 per salt — the
+        hiding property needs unpredictability, not exact uniformity."""
         key = jax.random.PRNGKey(int(self.rng.integers(0, 2**63)))
-        return jax.random.bits(key, (n, 4), dtype=jnp.uint32)
+        bits = jax.random.bits(key, (n, 4), dtype=jnp.uint32)
+        if self.config.hash != "sha256":
+            bits = bits & jnp.uint32(0x7FFFFFFF)
+            bits = jnp.where(bits >= jnp.uint32(P), bits - jnp.uint32(P), bits)
+        return bits
 
     def _fri_phase(self, fns, d_evals, transcript, final_size, N, ext):
         """FRI folding with Merkle commits (fibonacci.rs:200-247); shared by
@@ -617,9 +630,10 @@ class StarkProver:
         fri_salts: list = []
         fri_commitments: list = []
 
+        kind = self.config.hash
         salts0 = self._salts(N)
         profiling.incr("dispatches")  # tree build is its own program
-        tree0 = build_salted_device_tree(d_evals, salts0, ext=ext)
+        tree0 = build_salted_device_tree(d_evals, salts0, ext=ext, kind=kind)
         root0 = tree0.root()
         transcript.absorb_commitment(root0)
         fri_commitments.append(root0)
@@ -643,11 +657,12 @@ class StarkProver:
             fri_layers.append(current)
             profiling.incr("dispatches")
             if current.shape[0] == final_size:
-                tree = build_unsalted_device_tree(current, ext=ext)
+                tree = build_unsalted_device_tree(current, ext=ext, kind=kind)
                 salts = None
             else:
                 salts = self._salts(current.shape[0])
-                tree = build_salted_device_tree(current, salts, ext=ext)
+                tree = build_salted_device_tree(current, salts, ext=ext,
+                                                kind=kind)
             root = tree.root()
             transcript.absorb_commitment(root)
             fri_commitments.append(root)
@@ -702,7 +717,8 @@ class StarkProver:
             from .merkle import LEAFLESS_MIN
 
             keep = N < LEAFLESS_MIN
-            trace_tree = DeviceTree(out1["trace_levels"], has_leaf_level=keep)
+            trace_tree = DeviceTree(out1["trace_levels"], has_leaf_level=keep,
+                                    kind=cfg.hash)
             trace_root = trace_tree.root()
 
         transcript = Transcript()
@@ -720,7 +736,8 @@ class StarkProver:
                 jnp.asarray(np.array(alphas, np.uint32)), fns["tables"],
             )
             q_evals = out2["q_evals"]
-            quotient_tree = DeviceTree(out2["quot_levels"], has_leaf_level=keep)
+            quotient_tree = DeviceTree(out2["quot_levels"], has_leaf_level=keep,
+                                       kind=cfg.hash)
             quotient_root = quotient_tree.root()
         transcript.absorb_commitment(quotient_root)
 
@@ -857,7 +874,8 @@ class StarkProver:
             v, p, s = vps
             vals = _d2h(v).astype(np.uint64)
             paths = _d2h(p).astype(np.uint32)
-            proofs = openings_from_paths(indices, paths, tree.depth)
+            proofs = openings_from_paths(indices, paths, tree.depth,
+                                         tree.kind)
             s_np = _d2h(s).astype(np.uint64) if s is not None else None
             return vals, proofs, s_np
 
@@ -922,6 +940,7 @@ class StarkProver:
             ood_trace=ood_trace,
             num_columns=k,
             num_shifts=ns,
+            hash=cfg.hash,
         )
 
     # ── main entry point ───────────────────────────────────────────────────
@@ -936,7 +955,7 @@ class StarkProver:
         ext = cfg.ext_challenges
         fns = _phase_fns(
             n, N, n + cfg.mask_degree, cfg.blowup, cfg.coset_shift, self.air,
-            ext, cfg.final_layer_size(n), cfg.num_queries,
+            ext, cfg.final_layer_size(n), cfg.num_queries, cfg.hash,
         )
         k = getattr(self.air, "num_columns", 1)
         nc = getattr(self.air, "num_constraints", 1)
@@ -963,8 +982,10 @@ class StarkProver:
             from .merkle import LEAFLESS_MIN
 
             keep = N < LEAFLESS_MIN
-            trace_tree = DeviceTree(out["trace_levels"], has_leaf_level=keep)
-            quotient_tree = DeviceTree(out["quot_levels"], has_leaf_level=keep)
+            trace_tree = DeviceTree(out["trace_levels"], has_leaf_level=keep,
+                                    kind=cfg.hash)
+            quotient_tree = DeviceTree(out["quot_levels"], has_leaf_level=keep,
+                                       kind=cfg.hash)
             trace_root = trace_tree.root()
             quotient_root = quotient_tree.root()
 
@@ -1083,7 +1104,8 @@ class StarkProver:
             v, p, s = vps
             vals = _d2h(v).astype(np.uint64)
             paths = _d2h(p).astype(np.uint32)
-            proofs = openings_from_paths(indices, paths, tree.depth)
+            proofs = openings_from_paths(indices, paths, tree.depth,
+                                         tree.kind)
             s_np = _d2h(s).astype(np.uint64) if s is not None else None
             return vals, proofs, s_np
 
@@ -1103,7 +1125,8 @@ class StarkProver:
                 _d2h(v_f), _d2h(p_f), _d2h(s_f)
             )
             done = [
-                (vals, openings_from_paths(idx, paths, tree.depth), s_np)
+                (vals, openings_from_paths(idx, paths, tree.depth,
+                                           tree.kind), s_np)
                 for tree, idx, (vals, paths, s_np)
                 in zip(all_trees, all_idx, parts)
             ]
@@ -1172,4 +1195,5 @@ class StarkProver:
             fri_final_layer=fri_final_layer,
             query_proofs=query_proofs,
             ext=ext,
+            hash=cfg.hash,
         )

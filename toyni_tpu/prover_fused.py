@@ -595,6 +595,12 @@ class FusedStarkProver:
 
     def generate_proof(self) -> StarkProof:
         cfg = self.config
+        if cfg.hash != "sha256":
+            raise NotImplementedError(
+                "FusedStarkProver commits with SHA-256 only (its on-device "
+                "transcript is a SHA ratchet); use StarkProver for "
+                "Poseidon2 commitments"
+            )
         n = self.trace.num_rows
         N = n * cfg.blowup
         B = cfg.blowup

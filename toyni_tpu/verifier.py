@@ -30,11 +30,20 @@ def _value_bytes(value) -> bytes:
     return int(value).to_bytes(8, "little")
 
 
+def _value_elems(value) -> list:
+    """Leaf value as field elements (the Poseidon2 leaf-sponge encoding):
+    a base scalar is one element, an ext/multi-column tuple its limb list."""
+    return list(value) if isinstance(value, tuple) else [value]
+
+
 def _verify_opening(
     opening: MerkleOpening, root: bytes,
     expected_index: int = None, tree_size: int = None,
+    kind: str = "sha256",
 ) -> bool:
-    """Leaf = salt || value bytes (src/verifier.rs:235-238).
+    """Leaf = salt || value bytes (src/verifier.rs:235-238); in the
+    Poseidon2 mode, leaf = sponge(salt elems || value elems)
+    (field/poseidon2.py).
 
     POSITION BINDING (stricter than the reference): the path's position flags
     are the binary expansion of the leaf index (LSB-first), so they must
@@ -53,12 +62,29 @@ def _verify_opening(
     if tree_size is not None:
         if len(opening.proof.path) != (tree_size - 1).bit_length():
             return False
+    if kind != "sha256":
+        from .field import poseidon2 as p2
+
+        if len(opening.salt) not in (0, 16):
+            return False
+        salt_elems = p2.salt_to_elems(opening.salt) if opening.salt else ()
+        if any(v >= P for v in salt_elems):
+            return False
+        leaf = p2.h_leaf_digest(salt_elems, _value_elems(opening.value))
+        return p2.verify_merkle_proof(
+            leaf, opening.proof.path, opening.proof.position, root
+        )
     leaf = opening.salt + _value_bytes(opening.value)
     return verify_merkle_proof(leaf, opening.proof, root)
 
 
-def _unsalted_root(values) -> bytes:
+def _unsalted_root(values, kind: str = "sha256") -> bytes:
     """Recompute the unsalted final-layer root (src/verifier.rs:241-244)."""
+    if kind != "sha256":
+        from .field import poseidon2 as p2
+
+        leaves = [p2.h_hash_elems(_value_elems(v)) for v in values]
+        return p2.digest_to_bytes(p2.h_tree_root(leaves))
     return host_tree_root([_value_bytes(v) for v in values])
 
 
@@ -104,6 +130,10 @@ class StarkVerifier:
         # the proof's field mode must match the configured protocol
         ext = cfg.ext_challenges
         if bool(proof.ext) != bool(ext):
+            return False
+        # the proof's commitment hash must match the configured backend
+        hk = cfg.hash
+        if proof.hash != hk:
             return False
         ops = _ExtOps if ext else _BaseOps
 
@@ -219,7 +249,7 @@ class StarkVerifier:
         if any(v != proof.fri_final_layer[0] for v in proof.fri_final_layer):
             return False
         # final layer binds to its commitment
-        if _unsalted_root(proof.fri_final_layer) != proof.fri_commitments[-1]:
+        if _unsalted_root(proof.fri_final_layer, hk) != proof.fri_commitments[-1]:
             return False
 
         transcript.absorb_commitment(proof.fri_commitments[0])
@@ -262,27 +292,28 @@ class StarkVerifier:
                     if len(v) != k:
                         return False
                     if not _verify_opening(op, proof.trace_commitment,
-                                           (qi + s * cfg.blowup) % N, N):
+                                           (qi + s * cfg.blowup) % N, N, hk):
                         return False
                     t_opens.append(v)
             else:
                 for s, op in enumerate((qp.trace_opening, qp.trace_opening_g,
                                         qp.trace_opening_gg)):
                     if not _verify_opening(op, proof.trace_commitment,
-                                           (qi + s * cfg.blowup) % N, N):
+                                           (qi + s * cfg.blowup) % N, N, hk):
                         return False
 
             # 6b. quotient opening
             if not _verify_opening(qp.quotient_opening,
-                                   proof.quotient_commitment, qi, N):
+                                   proof.quotient_commitment, qi, N, hk):
                 return False
 
             # 6c. DEEP layer openings
             if not _verify_opening(qp.deep_opening, proof.fri_commitments[0],
-                                   qi, N):
+                                   qi, N, hk):
                 return False
             if not _verify_opening(qp.deep_opening_pair,
-                                   proof.fri_commitments[0], qi + half0, N):
+                                   proof.fri_commitments[0], qi + half0, N,
+                                   hk):
                 return False
 
             # 6d. DEEP reconstruction from opened + OOD values
@@ -334,10 +365,10 @@ class StarkVerifier:
                 in_first_half = pos == lo
 
                 if not _verify_opening(op, proof.fri_commitments[fold_k],
-                                       lo, layer_size):
+                                       lo, layer_size, hk):
                     return False
                 if not _verify_opening(op_pair, proof.fri_commitments[fold_k],
-                                       lo + half, layer_size):
+                                       lo + half, layer_size, hk):
                     return False
 
                 if in_first_half:
