@@ -13,10 +13,13 @@ reference's CPU-vs-accelerator comparison, src/ntt.rs:264-287, in spirit).
 
 `extra` carries the BASELINE.md end-to-end metrics: Fibonacci proofs/sec at
 trace 2^8 and 2^16 (full ZK pipeline, host-verified), measured steady-state
-with the per-size winning prover (fused single-dispatch at 2^8, phase at
-2^16 — PERF.md round-2 table). Stages respect a deadline so the driver's
-1700 s budget is never exceeded — a stage that would not fit is skipped and
-its key reports null.
+with the fused single-dispatch prover at both sizes: it wins outright at
+2^8 (0.42 vs 0.65 s/proof) and ties the phase prover at 2^16 (~1.1 s)
+while COLD-TRACING ~10x faster — the phase prover's unrolled-SHA tree
+programs cost a cold process ~840 s of Python tracing at 2^16 (PERF.md
+"tracing"), which is what timed this stage out in round 2. Stages respect
+a deadline so the driver's 1700 s budget is never exceeded — a stage that
+would not fit is skipped and its key reports null.
 """
 
 from __future__ import annotations
@@ -176,17 +179,14 @@ def main() -> None:
     extra = {"ntt_ms_2e24": round(sec * 1e3, 2)}
 
     # end-to-end proofs/sec (BASELINE.md metrics): each stage runs in a
-    # child process under a hard timeout sized to what the deadline allows;
-    # prover choice per size = the measured winner (PERF.md round 2)
-    # NOTE the 2^16 budget: even with every executable in the persistent
-    # compile cache, the child spends ~840 s (idle; more under tunnel
-    # contention) in Python tracing/lowering — the unrolled-SHA tree
-    # programs at 2^21 leaves trace to huge jaxprs, and tracing is never
-    # cached across processes. The deadline guard below still protects the
-    # headline metric if the stage cannot fit.
+    # child process under a hard timeout sized to what the deadline allows.
+    # Both stages use the fused prover — measured stage total at 2^16 is
+    # ~9 min cold (vs the phase prover's ~840 s of tracing alone, the
+    # round-2 stage_timeout). The deadline guard below still protects the
+    # headline metric if a stage cannot fit.
     for key, rows, iters, budget, prover in (
         ("proofs_per_sec_2e8", 1 << 8, 5, 420, "fused"),
-        ("proofs_per_sec_2e16", 1 << 16, 2, 1200, "phase"),
+        ("proofs_per_sec_2e16", 1 << 16, 2, 1200, "fused"),
     ):
         budget = min(budget, _remaining() - 90)  # keep teardown headroom
         if budget < 120:

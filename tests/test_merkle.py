@@ -230,3 +230,43 @@ def test_rolled_and_unrolled_sha_identical():
     np.testing.assert_array_equal(rolled_n, unrolled_n)
     # the context restores the previous selection
     assert sha._unrolled() in (True, False)
+
+
+def test_sha256_compression_forms_identical():
+    """The three compression lowerings (unrolled / chunked / rolled) produce
+    identical digests on every leaf/node entry point (see ops/sha256.py
+    `_form` for why three exist)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from toyni_tpu.ops import sha256 as sha
+
+    rng = np.random.default_rng(7)
+    N = 21
+    vals = jnp.asarray(rng.integers(0, P, N).astype(np.uint32))
+    salts = jnp.asarray(
+        rng.integers(0, 2**32, (N, 4), dtype=np.uint64).astype(np.uint32)
+    )
+    ev = jnp.asarray(rng.integers(0, P, (N, 4)).astype(np.uint32))
+    mv = jnp.asarray(rng.integers(0, P, (5, N)).astype(np.uint32))
+
+    def all_digests():
+        leaves = sha.hash_salted_leaves(vals, salts)
+        return [
+            np.asarray(x) for x in (
+                leaves,
+                sha.hash_unsalted_leaves(vals),
+                sha.hash_salted_leaves_ext(ev, salts),
+                sha.hash_unsalted_leaves_ext(ev),
+                sha.hash_salted_leaves_multi(mv, salts),
+                sha.hash_nodes(leaves[0:20:2], leaves[1:20:2]),
+            )
+        ]
+
+    outs = {}
+    # NOTE: "unrolled" is excluded on CPU — XLA:CPU cannot compile it
+    for form in ("rolled", "chunked"):
+        with sha.forced(form):
+            outs[form] = all_digests()
+    for a, b in zip(outs["rolled"], outs["chunked"]):
+        np.testing.assert_array_equal(a, b)

@@ -29,8 +29,6 @@ commitment slot width as SHA-256 digests).
 
 from __future__ import annotations
 
-import functools
-
 import jax.numpy as jnp
 
 from ..field.babybear import MONT_R, P, add, mont_mul, sum_mod, to_mont
@@ -200,58 +198,35 @@ def _sponge(elems_mont, batch_shape):
     return jnp.stack(digest, axis=-1)
 
 
-def _shapejit(fn):
-    """Per-shape trace dedup (same rationale as ops/sha256.py:_shapejit —
-    a tree program contains one hash call per level). Keyed on the
-    rolled/unrolled form, which is env/backend-dependent."""
-    jitted = {}
-
-    @functools.wraps(fn)
-    def wrapper(*args):
-        import jax
-
-        f = jitted.get(_unrolled())
-        if f is None:
-            f = jitted[_unrolled()] = jax.jit(fn)
-        return f(*args)
-
-    return wrapper
-
-
 def _salt_lanes(salts):
     """(N, 4) u32 field-element salt words -> 4 Montgomery lanes."""
     return [to_mont(salts[..., i]) for i in range(4)]
 
 
-@_shapejit
 def hash_salted_leaves(values, salts):
     """sponge(salt4 || value): the hiding base-field leaf (the Poseidon2
     analog of SHA256(0x00 || salt || value8LE), src/fibonacci.rs:340-353)."""
     return _sponge(_salt_lanes(salts) + [to_mont(values)], values.shape)
 
 
-@_shapejit
 def hash_unsalted_leaves(values):
     """sponge(value): the public final-FRI-layer leaf
     (src/fibonacci.rs:357-363)."""
     return _sponge([to_mont(values)], values.shape)
 
 
-@_shapejit
 def hash_salted_leaves_ext(values, salts):
     """sponge(salt4 || v0..v3) for (..., 4) ext codeword lanes."""
     lanes = _salt_lanes(salts) + [to_mont(values[..., i]) for i in range(4)]
     return _sponge(lanes, values.shape[:-1])
 
 
-@_shapejit
 def hash_unsalted_leaves_ext(values):
     return _sponge(
         [to_mont(values[..., i]) for i in range(4)], values.shape[:-1]
     )
 
 
-@_shapejit
 def hash_salted_leaves_multi(values, salts):
     """sponge(salt4 || v_0..v_{k-1}): the row-bundle leaf of multi-column
     trace commitments. values: (k, N) u32 (column-major, the
@@ -261,7 +236,6 @@ def hash_salted_leaves_multi(values, salts):
     return _sponge(lanes, values.shape[1:])
 
 
-@_shapejit
 def hash_nodes(left, right):
     """2-to-1 compression of (..., 8) digest pairs: one full-width
     permutation, truncated (the analog of SHA256(0x01 || L || R),

@@ -21,8 +21,6 @@ Digests are carried as ``(..., 8)`` uint32 big-endian words; `digest_bytes` /
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax.numpy as jnp
 
@@ -103,67 +101,91 @@ def _m_add(*xs):
     return out
 
 
-def _prefer_unrolled() -> bool:
-    """Unrolled compression on TPU, rolled elsewhere.
+def _prefer_form() -> str:
+    """Default compression form: 'unrolled' on TPU, 'rolled' elsewhere.
 
     Unrolled: the whole 64-round compression fuses into register-resident
     elementwise work — HBM traffic is just message-in/digest-out (~25x less
     than the rolled window). XLA:TPU compiles it fine; XLA:CPU takes
-    unbounded time on the unrolled graph, so CPU (tests) stays rolled — the
-    two paths are the same arithmetic and produce identical bytes.
+    unbounded time on the unrolled graph, so CPU (tests) stays rolled — all
+    forms are the same arithmetic and produce identical bytes.
     """
     import jax
 
     try:
         d = jax.config.jax_default_device
         if d is not None and d.platform != "tpu":
-            return False
-        return any(x.platform == "tpu" for x in jax.devices())
+            return "rolled"
+        if any(x.platform == "tpu" for x in jax.devices()):
+            return "unrolled"
+        return "rolled"
     except Exception:
-        return False
+        return "rolled"
 
 
-_UNROLLED = None
+_FORM = None
+
+
+def _form() -> str:
+    """'unrolled' | 'chunked' | 'rolled' — three lowerings of the same
+    compression, trading traced-op count / program size against fusion:
+
+    - unrolled: all 64 rounds inlined per call site — fastest on TPU, but
+      a cold process pays heavy Python tracing for big-trace provers
+      (~840 s at trace 2^16: every tree level re-inlines the rounds), and
+      whole-proof fused programs exceed the remote compiler's memory.
+      (An inner-jit dedup of the tracing was TRIED and REVERTED: XLA:TPU
+      does not re-inline nested jit calls — the called hash computations
+      broke fusion and measured 7.3x slower tree builds, 351 vs 48 ms at
+      2^21 leaves; `jax.jit(..., inline=True)` measured the same 342 ms.)
+    - chunked: `fori_loop` over eight 8-round chunks, rounds unrolled
+      inside each chunk — 1/8 the traced ops, fusion kept within chunks.
+    - rolled: `fori_loop` over all 64 rounds — smallest programs, ~12x
+      lower hash throughput; the CPU/test form and the fused prover's.
+
+    `TOYNI_SHA_FORM` overrides; `TOYNI_SHA_UNROLL=0/1` kept for
+    back-compat (1 = unrolled, 0 = rolled)."""
+    global _FORM
+    if _FORM is None:
+        import os
+
+        env = os.environ.get("TOYNI_SHA_FORM", "")
+        legacy = os.environ.get("TOYNI_SHA_UNROLL", "")
+        if env in ("unrolled", "chunked", "rolled"):
+            _FORM = env
+        elif legacy in ("0", "1"):
+            _FORM = "unrolled" if legacy == "1" else "rolled"
+        else:
+            _FORM = _prefer_form()
+    return _FORM
 
 
 def _unrolled() -> bool:
-    global _UNROLLED
-    if _UNROLLED is None:
-        import os
-
-        env = os.environ.get("TOYNI_SHA_UNROLL", "")
-        if env in ("0", "1"):
-            # explicit override: rolled compression shrinks giant fused
-            # programs ~50x (64 inlined rounds -> one fori_loop per call
-            # site) at ~12x lower hash throughput — the right trade when a
-            # single-dispatch program otherwise exceeds the compiler's
-            # memory (the remote compile helper SIGKILLs around ~14 MB of
-            # MLIR on this deployment)
-            _UNROLLED = env == "1"
-        else:
-            _UNROLLED = _prefer_unrolled()
-    return _UNROLLED
+    return _form() == "unrolled"
 
 
 import contextlib
 
 
 @contextlib.contextmanager
-def forced(unrolled: bool):
+def forced(form):
     """Pin the compression form while tracing a program. The fused
-    single-dispatch prover traces under `forced(False)`: with the unrolled
-    form its whole-proof program reaches ~14 MB of MLIR and this
+    single-dispatch prover traces under `forced("rolled")`: with the
+    unrolled form its whole-proof program reaches ~14 MB of MLIR and this
     deployment's remote compile helper is SIGKILLed; rolled it compiles in
     ~2 min and still WINS end-to-end (0.42 vs 0.65 s/proof at trace 2^8 —
     hashing is a small slice of a fused small-trace proof). Identical bytes
-    either way."""
-    global _UNROLLED
-    old = _UNROLLED
-    _UNROLLED = unrolled
+    in every form. Accepts a form string or a legacy bool (True =
+    unrolled, False = rolled)."""
+    global _FORM
+    if isinstance(form, bool):
+        form = "unrolled" if form else "rolled"
+    old = _FORM
+    _FORM = form
     try:
         yield
     finally:
-        _UNROLLED = old
+        _FORM = old
 
 
 def compress_unrolled(state, block):
@@ -194,6 +216,44 @@ def compress_words_unrolled(state, win):
     return state + out
 
 
+def compress_words_chunked(state, win):
+    """Chunked compression: `fori_loop` over eight 8-round chunks, the 8
+    rounds unrolled inside each chunk — 1/8 of the unrolled form's traced
+    ops with fusion kept within chunks (see `_form`). Round constants are
+    table-indexed (the loop index is traced, so constant message words are
+    materialized up front by the caller); the rolling 16-word schedule
+    window rides in the loop carry as a TUPLE, so the shift is free at
+    trace time. Identical bytes to the other forms."""
+    import jax
+
+    # an all-constant block (pure padding) broadcasts to the state's shape
+    ref = next((w for w in win if not _is_c(w)), state[..., 0])
+    win = tuple(
+        jnp.broadcast_to(_U32(w), ref.shape) if _is_c(w) else w for w in win
+    )
+    k_tab = jnp.asarray(_K)
+    regs = tuple(state[..., i] for i in range(8))
+
+    def chunk(ci, carry):
+        a, b, c, d, e, f, g, h = carry[:8]
+        win = carry[8:]
+        for t in range(8):
+            k_t = k_tab[ci * 8 + t]
+            S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+            ch = (e & f) ^ (~e & g)
+            t1 = h + S1 + ch + k_t + win[0]
+            S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+            maj = (a & b) ^ (a & c) ^ (b & c)
+            t2 = S0 + maj
+            new_w = _m_add(win[0], _sig0(win[1]), win[9], _sig1(win[14]))
+            win = win[1:] + (new_w,)
+            h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
+        return (a, b, c, d, e, f, g, h) + win
+
+    out = jax.lax.fori_loop(0, 8, chunk, regs + win)
+    return state + jnp.stack(out[:8], axis=-1)
+
+
 def compress(state, block):
     """One SHA-256 compression. state: (..., 8) u32; block: (..., 16) u32.
 
@@ -208,6 +268,10 @@ def compress(state, block):
 
     if _unrolled():
         return compress_unrolled(state, block)
+    if _form() == "chunked":
+        return compress_words_chunked(
+            state, [block[..., t] for t in range(16)]
+        )
 
     k_tab = jnp.asarray(_K)
     win0 = jnp.moveaxis(block, -1, 0)  # (16, ...)
@@ -251,9 +315,13 @@ def sha256_words(wins):
     materializes them — identical bytes either way."""
     ref = next(w for win in wins for w in win if not _is_c(w))
     state = jnp.broadcast_to(jnp.asarray(_H0), (*ref.shape, 8))
-    if _unrolled():
+    form = _form()
+    if form == "unrolled":
         for win in wins:
             state = compress_words_unrolled(state, win)
+    elif form == "chunked":
+        for win in wins:
+            state = compress_words_chunked(state, win)
     else:
         for win in wins:
             block = jnp.stack(
@@ -288,35 +356,6 @@ def unpack_words(words):
 # lane of HBM — 8 GB per tree at LDE 2^25 — and was the OOM that capped trace
 # size; the word-wise path's biggest temp is the (N, 16) block itself.
 
-# ── per-shape trace dedup ────────────────────────────────────────────────────
-# Every public hash entry point is wrapped in an inner `jax.jit`: the 64
-# unrolled rounds then trace ONCE per (argument shapes, compression form) and
-# every further call site — a 2^21-leaf tree program contains ~43 of them,
-# and a whole proof ~500 — reuses the cached jaxpr and lowers as a call to
-# one shared function instead of re-inlining ~1,300 traced ops. This is what
-# makes cold-process tracing of the big-trace provers affordable (the phase
-# prover at trace 2^16 spent ~840 s/process tracing before this; XLA's call
-# inliner re-expands the calls during HLO optimization, so the compiled
-# program — and the measured hash throughput — is unchanged). The cache keys
-# on the rolled/unrolled flag because `forced()` can flip it between calls
-# with identical shapes.
-
-
-def _shapejit(fn):
-    jitted = {}
-
-    @functools.wraps(fn)
-    def wrapper(*args):
-        import jax
-
-        f = jitted.get(_unrolled())
-        if f is None:
-            f = jitted[_unrolled()] = jax.jit(fn)
-        return f(*args)
-
-    return wrapper
-
-@_shapejit
 def hash_salted_leaves(values, salts):
     """SHA256(0x00 || salt || value8LE) for every lane.
 
@@ -344,7 +383,6 @@ def hash_salted_leaves(values, salts):
     return sha256_words([win])
 
 
-@_shapejit
 def hash_unsalted_leaves(values):
     """SHA256(0x00 || value8LE): the public final-FRI-layer leaves
     (src/fibonacci.rs:357-363)."""
@@ -366,7 +404,6 @@ def _le8_words(v):
     return lo
 
 
-@_shapejit
 def hash_salted_leaves_ext(values, salts):
     """SHA256(0x00 || salt16 || ext32LE) for (..., 4) u32 ext codeword lanes:
     the hiding leaf of the extension-field soundness mode. Value encoding =
@@ -397,7 +434,6 @@ def hash_salted_leaves_ext(values, salts):
     return sha256_words([win])
 
 
-@_shapejit
 def hash_unsalted_leaves_ext(values):
     """SHA256(0x00 || ext32LE): the public final-FRI-layer leaves of the
     extension-field mode. 33-byte message, one block."""
@@ -413,7 +449,6 @@ def hash_unsalted_leaves_ext(values):
     return sha256_words([win])
 
 
-@_shapejit
 def hash_salted_leaves_multi(values, salts):
     """SHA256(0x00 || salt16 || v_0 8LE || ... || v_{k-1} 8LE): the row-bundle
     leaf of multi-column trace commitments — all k column values at one LDE
@@ -459,7 +494,6 @@ def hash_salted_leaves_multi(values, salts):
     return sha256_words([words[b * 16:(b + 1) * 16] for b in range(nb)])
 
 
-@_shapejit
 def hash_nodes(left, right):
     """SHA256(0x01 || left || right) for (..., 8) u32 digest pairs
     (src/merkle.rs:117-123). 65-byte message -> two blocks."""

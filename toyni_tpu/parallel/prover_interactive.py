@@ -47,7 +47,7 @@ from ..domain import Domain
 from ..field import babybear as bb
 from ..field import ext as extf
 from ..field.babybear import P
-from ..merkle import openings_from_paths
+from ..merkle import _hash_backend, openings_from_paths
 from ..ops import sha256 as sha
 from ..ops.fri import fri_fold_ext
 from ..ops.ntt import intt, np_powers
@@ -64,28 +64,30 @@ _U32 = jnp.uint32
 _DEFAULT_AIR = FibonacciAir()
 
 
-def _local_levels(leaves: jnp.ndarray) -> list:
+def _local_levels(leaves: jnp.ndarray, kind: str = "sha256") -> list:
     """All levels of a (m, 8) digest block, bottom-up, including the input."""
+    h = _hash_backend(kind)
     levels = [leaves]
     cur = leaves
     while cur.shape[0] > 1:
-        cur = sha.hash_nodes(cur[0::2], cur[1::2])
+        cur = h.hash_nodes(cur[0::2], cur[1::2])
         levels.append(cur)
     return levels
 
 
-def _leaf_digests(values_loc, salts_loc, mode: str):
+def _leaf_digests(values_loc, salts_loc, mode: str, kind: str = "sha256"):
     """Per-leaf digests for a local slice. mode: 'base' (values (m,)),
     'ext' ((m, 4) ext codeword lanes), 'multi' ((k, m) row bundles)."""
+    h = _hash_backend(kind)
     if mode == "ext":
         if salts_loc is None:
-            return sha.hash_unsalted_leaves_ext(values_loc)
-        return sha.hash_salted_leaves_ext(values_loc, salts_loc)
+            return h.hash_unsalted_leaves_ext(values_loc)
+        return h.hash_salted_leaves_ext(values_loc, salts_loc)
     if mode == "multi":
-        return sha.hash_salted_leaves_multi(values_loc, salts_loc)
+        return h.hash_salted_leaves_multi(values_loc, salts_loc)
     if salts_loc is None:
-        return sha.hash_unsalted_leaves(values_loc)
-    return sha.hash_salted_leaves(values_loc, salts_loc)
+        return h.hash_unsalted_leaves(values_loc)
+    return h.hash_salted_leaves(values_loc, salts_loc)
 
 
 @functools.lru_cache(maxsize=8)
@@ -108,6 +110,7 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
     ns = air.num_shifts
     ext = cfg.ext_challenges
     multi = k > 1 or nc > 1 or ns != 3
+    hk = cfg.hash
 
     domain = Domain.new(n)
     shifted = Domain.new(N).get_coset(cfg.coset_shift)
@@ -137,18 +140,18 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
 
     def _commit_with_levels(values_loc, salts_loc, mode="base"):
         """Cyclic values -> (lo_levels..., top_levels...) block/replicated."""
-        digests = _leaf_digests(values_loc, salts_loc, mode)
+        digests = _leaf_digests(values_loc, salts_loc, mode, hk)
         m = digests.shape[0]
         if m % D == 0 and m >= D:
             block = _cyclic_to_block_local(digests, D)
-            lo = _local_levels(block)
+            lo = _local_levels(block, hk)
             subroots = jax.lax.all_gather(lo[-1][0], AXIS, axis=0)  # (D, 8)
-            top = _local_levels(subroots)[1:]
+            top = _local_levels(subroots, hk)[1:]
             return lo, top
         # tiny layer: gather everything, build the whole tree replicated
         gathered = jax.lax.all_gather(digests, AXIS, axis=0)  # (D, m, 8)
         natural = jnp.swapaxes(gathered, 0, 1).reshape(D * m, 8)
-        return [], _local_levels(natural)
+        return [], _local_levels(natural, hk)
 
     n_lo = (mloc).bit_length()  # levels in a local subtree incl. leaves
     lo_specs = [blk] * n_lo
@@ -488,7 +491,7 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
 
     def _rep_commit(values, salts):
         mode = "ext" if ext else "base"
-        return _local_levels(_leaf_digests(values, salts, mode))
+        return _local_levels(_leaf_digests(values, salts, mode, hk), hk)
 
     fns["rep_fold"] = jax.jit(_rep_fold, out_shardings=(rep_sh, rep_sh))
     fns["rep_commit_salted"] = jax.jit(
@@ -530,14 +533,18 @@ class _DistTree:
     REPLICATED natural-order layer stores values.reshape(size, 1, ...) so
     the same index algebra applies (i % size = i, i // size = 0)."""
 
-    def __init__(self, lo, top, values_cyc, salts_cyc, mesh=None):
+    def __init__(self, lo, top, values_cyc, salts_cyc, mesh=None,
+                 kind: str = "sha256"):
         self.levels = list(lo) + list(top)
         self.values = values_cyc  # (D0, m, ...) cyclic
         self.salts = salts_cyc    # (D0, m, 4) cyclic or None
         self.mesh = mesh
+        self.kind = kind
 
     def root(self) -> bytes:
-        return sha.digest_bytes(np.asarray(self.levels[-1], np.uint32)[0])
+        return _hash_backend(self.kind).digest_bytes(
+            np.asarray(self.levels[-1], np.uint32)[0]
+        )
 
     def open_at(self, indices) -> tuple:
         """Gather values, salts, sibling paths for global indices (host list).
@@ -615,9 +622,15 @@ class DistributedStarkProver:
 
     def _salts_np(self, count: int) -> np.ndarray:
         """Identical draw to StarkProver._salts (threefry is deterministic
-        across backends), materialized to host for cyclic resharding."""
+        across backends), materialized to host for cyclic resharding.
+        Poseidon2 mode: the same field-range masking as StarkProver._salts
+        (byte-identity requires the exact same salt values)."""
         key = jax.random.PRNGKey(int(self.rng.integers(0, 2**63)))
-        return np.asarray(jax.random.bits(key, (count, 4), dtype=jnp.uint32))
+        bits = np.asarray(jax.random.bits(key, (count, 4), dtype=jnp.uint32))
+        if self.config.hash != "sha256":
+            bits = bits & np.uint32(0x7FFFFFFF)
+            bits = np.where(bits >= np.uint32(P), bits - np.uint32(P), bits)
+        return bits
 
     # ── FRI (interactive: root -> transcript -> beta -> fold) ──────────────
     def _fri_phase(self, ph, d_evals, transcript, shard_cyc):
@@ -640,7 +653,8 @@ class DistributedStarkProver:
         salts0_np = self._salts_np(N)
         salts0 = shard_cyc(salts0_np)
         lv = ph["layer_commit"](N, True)(d_evals, salts0)
-        tree0 = _DistTree(lv["lo"], lv["top"], d_evals, salts0, mesh)
+        tree0 = _DistTree(lv["lo"], lv["top"], d_evals, salts0, mesh,
+                          kind=cfg.hash)
         root0 = tree0.root()
         transcript.absorb_commitment(root0)
         fri_commitments.append(root0)
@@ -685,12 +699,13 @@ class DistributedStarkProver:
                 )
                 v2 = current.reshape(size, 1, *current.shape[1:])
                 s2 = None if salts is None else salts.reshape(size, 1, 4)
-                tree = _DistTree([], levels, v2, s2, mesh)
+                tree = _DistTree([], levels, v2, s2, mesh, kind=cfg.hash)
             else:
                 lv = ph["layer_commit"](size, salts is not None)(
                     *((current, salts) if salts is not None else (current,))
                 )
-                tree = _DistTree(lv["lo"], lv["top"], current, salts, mesh)
+                tree = _DistTree(lv["lo"], lv["top"], current, salts,
+                                 mesh, kind=cfg.hash)
             root = tree.root()
             transcript.absorb_commitment(root)
             fri_commitments.append(root)
@@ -713,11 +728,6 @@ class DistributedStarkProver:
 
     def generate_proof(self) -> StarkProof:
         cfg = self.config
-        if cfg.hash != "sha256":
-            raise NotImplementedError(
-                "DistributedStarkProver commits with SHA-256 only so far; "
-                "use StarkProver for Poseidon2 commitments"
-            )
         D = self.D
         n = self.trace.num_rows
         air = self.air
@@ -770,7 +780,8 @@ class DistributedStarkProver:
                 trace_cols, r_masks, trace_salts, tb["shiftf"], tb["W"],
             )
             trace_tree = _DistTree(out1["t_lo"], out1["t_top"],
-                                   out1["trace_lde"], trace_salts, mesh)
+                                   out1["trace_lde"], trace_salts, mesh,
+                                   kind=cfg.hash)
             trace_root = trace_tree.root()
             transcript.absorb_commitment(trace_root)
             alphas = (
@@ -785,7 +796,8 @@ class DistributedStarkProver:
                 tb["x"], tb["zh"],
             )
             quot_tree = _DistTree(out2["q_lo"], out2["q_top"],
-                                  out2["q_evals"], quot_salts, mesh)
+                                  out2["q_evals"], quot_salts, mesh,
+                                  kind=cfg.hash)
             quotient_root = quot_tree.root()
             transcript.absorb_commitment(quotient_root)
             trace_lde = out1["trace_lde"]
@@ -796,9 +808,11 @@ class DistributedStarkProver:
                 tb["x"], tb["zh"], tb["shiftf"], tb["W"],
             )
             trace_tree = _DistTree(out["t_lo"], out["t_top"],
-                                   out["trace_lde"], trace_salts, mesh)
+                                   out["trace_lde"], trace_salts, mesh,
+                                   kind=cfg.hash)
             quot_tree = _DistTree(out["q_lo"], out["q_top"],
-                                  out["q_evals"], quot_salts, mesh)
+                                  out["q_evals"], quot_salts, mesh,
+                                  kind=cfg.hash)
             trace_root = trace_tree.root()
             quotient_root = quot_tree.root()
             transcript.absorb_commitment(trace_root)
@@ -928,7 +942,7 @@ class DistributedStarkProver:
         def openings(tree, indices):
             vals, salts, paths = tree.open_at(indices)
             proofs = openings_from_paths(indices, paths,
-                                         len(tree.levels) - 1)
+                                         len(tree.levels) - 1, tree.kind)
             return vals, salts, proofs
 
         tr_vals, tr_salts, tr_proofs = openings(trace_tree, trace_idx)
@@ -1012,6 +1026,7 @@ class DistributedStarkProver:
                 query_proofs=query_proofs,
                 ext=ext, ood_trace=ood_trace,
                 num_columns=k, num_shifts=ns,
+                hash=cfg.hash,
             )
         return StarkProof(
             trace_len=n, lde_size=N,
@@ -1022,4 +1037,5 @@ class DistributedStarkProver:
             fri_final_layer=fri_final_layer,
             query_proofs=query_proofs,
             ext=ext,
+            hash=cfg.hash,
         )

@@ -39,9 +39,19 @@ from .field import ext as extf
 
 
 def sha_forced_rolled():
+    """Compression form for the fused whole-proof programs: CHUNKED (8-round
+    fori_loop chunks, rounds unrolled inside). The fully unrolled form's
+    program reaches ~14 MB of MLIR and the remote compiler SIGKILLs it;
+    chunked is ~8x smaller than that, compiles fine, and its better fusion
+    beats the previous rolled default 1.86x at trace 2^16 (0.605 vs 1.128
+    s/proof) and 1.22x at 2^8 (0.393 vs 0.479) on v5e.
+    `TOYNI_FUSED_SHA_FORM=rolled` restores the old form; identical proof
+    bytes in every form (name kept for history)."""
+    import os
+
     from .ops import sha256 as sha
 
-    return sha.forced(False)
+    return sha.forced(os.environ.get("TOYNI_FUSED_SHA_FORM", "chunked"))
 from .field.babybear import P
 from .merkle import LEAFLESS_MIN, _device_levels, extract_paths, openings_from_paths
 from .proof import MerkleOpening, QueryProof, StarkProof
@@ -633,10 +643,10 @@ class FusedStarkProver:
             trace_cols = jnp.asarray(
                 np.stack(self.trace.columns).astype(np.uint32)
             )
-            # trace under rolled SHA compression: the unrolled form makes
-            # this whole-proof program exceed the remote compile helper's
-            # memory (~14 MB MLIR -> SIGKILL); rolled compiles AND wins
-            # end-to-end at small traces (see sha256.forced)
+            # trace under chunked SHA compression: the unrolled form
+            # makes this whole-proof program exceed the remote compile
+            # helper's memory (~14 MB MLIR -> SIGKILL); chunked compiles
+            # AND wins end-to-end (see sha_forced_rolled)
             with sha_forced_rolled():
                 out = fns["prove"](trace_cols, r_masks, salt_keys,
                                    fns["tables"])
