@@ -269,12 +269,12 @@ GOLDEN_P2_SHA256 = (
 
 
 def test_unsupported_provers_raise():
+    """The fused prover's on-device transcript is SHA-only so far — it must
+    refuse Poseidon2 configs loudly (phase/batch/distributed all support
+    them)."""
     from toyni_tpu.prover_fused import FusedStarkProver
-    from toyni_tpu.batch import BatchStarkProver
 
     cfg = StarkConfig(hash="poseidon2")
     t = _fib_trace(64)
     with pytest.raises(NotImplementedError):
         FusedStarkProver(t, config=cfg, seed=1).generate_proof()
-    with pytest.raises(NotImplementedError):
-        BatchStarkProver([t], config=cfg, seeds=[1]).generate_proofs()

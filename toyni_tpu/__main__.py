@@ -66,13 +66,13 @@ def cmd_prove(args) -> int:
     air, t, deg = _make_air(args.air, args.rows)
     cfg = StarkConfig(ext_challenges=args.ext, constraint_degree=deg,
                       hash=args.hash)
-    # default = the measured per-size winner (PERF.md round-2 table): the
-    # fused single-dispatch prover at small traces (0.42 vs 0.65 s/proof at
-    # 2^8 on v5e), the phase prover at large ones. Poseidon2 commitments run
-    # on the phase prover (the fused prover's on-device transcript is
+    # default = the fused single-dispatch prover at EVERY size — the
+    # measured winner across the board since round 3's chunked compression
+    # (0.39 vs 0.65 s/proof at 2^8, 0.61 vs 1.13 at 2^16, 8.5 vs 10.6 at
+    # 2^20 on v5e; PERF.md round-3 table). Poseidon2 commitments run on
+    # the phase prover (the fused prover's on-device transcript is
     # SHA-only so far).
-    use_fused = (args.fused or (not args.phase and args.rows <= (1 << 12))) \
-        and cfg.hash == "sha256"
+    use_fused = (args.fused or not args.phase) and cfg.hash == "sha256"
     if use_fused:
         from toyni_tpu.prover_fused import FusedStarkProver as prover_cls
     else:
@@ -181,12 +181,12 @@ def main(argv=None) -> int:
         "--fused", action="store_true",
         help="force the single-dispatch prover: whole proof (incl. the "
              "Fiat-Shamir transcript) as one device program; byte-identical "
-             "proofs (the DEFAULT for traces <= 2^12 — the measured-win "
-             "region on v5e)",
+             "proofs (the DEFAULT at every size since round 3's chunked "
+             "compression)",
     )
     pp.add_argument(
         "--phase", action="store_true",
-        help="force the phase prover (the default for traces > 2^12)",
+        help="force the phase prover (the default only for Poseidon2 commitments)",
     )
     pp.set_defaults(fn=cmd_prove)
 

@@ -35,6 +35,7 @@ from .domain import Domain, _shift_tables
 from .field import babybear as bb
 from .field.babybear import P, MONT_R
 from .merkle import openings_from_paths
+from .merkle import _hash_backend
 from .ops import sha256 as sha
 from .ops.ntt import (
     ntt_batched,
@@ -68,12 +69,16 @@ def powers_traced_batched(base: jnp.ndarray, n: int, *, mont: bool = False):
     return result if mont else bb.from_mont(result)
 
 
-def _device_levels_batched(leaf_digests: jnp.ndarray) -> list:
+def _device_levels_batched(leaf_digests: jnp.ndarray,
+                           kind: str = "sha256") -> list:
     """(B, n, 8) leaf digests -> all tree levels, batched over axis 0."""
+    from .merkle import _hash_backend
+
+    h = _hash_backend(kind)
     levels = [leaf_digests]
     cur = leaf_digests
     while cur.shape[1] > 1:
-        cur = sha.hash_nodes(cur[:, 0::2], cur[:, 1::2])
+        cur = h.hash_nodes(cur[:, 0::2], cur[:, 1::2])
         levels.append(cur)
     return levels
 
@@ -92,11 +97,19 @@ def _fold_batched(current, xs_inv, betas):
 
 
 @functools.lru_cache(maxsize=8)
-def _batch_ext_fns(blowup: int, ns: int, k: int):
+def _batch_ext_fns(blowup: int, ns: int, k: int, hash_kind: str = "sha256"):
     """Jitted batched extension-field phases: the single-proof ext functions
     of prover._phase_fns lifted over the batch axis with `jax.vmap` (the
     codeword/beta/z arrays gain a leading (B,); domain tables stay shared).
     Keyed on (blowup, ns, k) — shapes specialize at trace time."""
+    from .merkle import _hash_backend
+
+    # hash backend for every committed tree; `sha` is the historical local
+    # name (binds SHA-256 or Poseidon2 — same entry-point surface)
+    sha = _hash_backend(hash_kind)
+
+    def _device_levels_b(leaves):
+        return _device_levels_batched(leaves, hash_kind)
     from .field import ext as extf
     from .ops.fri import fri_fold_ext
 
@@ -167,12 +180,12 @@ def _batch_ext_fns(blowup: int, ns: int, k: int):
         return folded, bb.mont_mul(xs_inv[:half], xs_inv[:half])
 
     def build_salted_ext(values, salts):
-        return _device_levels_batched(
+        return _device_levels_b(
             sha.hash_salted_leaves_ext(values, salts)
         )
 
     def build_unsalted_ext(values):
-        return _device_levels_batched(sha.hash_unsalted_leaves_ext(values))
+        return _device_levels_b(sha.hash_unsalted_leaves_ext(values))
 
     def gather_salted_ext(levels, values, salts, idx):
         vals = jnp.take_along_axis(values, idx[..., None], axis=1)  # (B,Q,4)
@@ -207,7 +220,7 @@ def _extract_paths_batched(levels: list, indices: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _batch_fns_multi(Bsz: int, n: int, N: int, L: int, blowup: int,
-                     coset_shift: int, air):
+                     coset_shift: int, air, hash_kind: str = "sha256"):
     """Jitted batched phases for generic (k columns, nc constraints,
     ns shifts) AIRs — the batch analog of prover._phase_fns' multi branch.
 
@@ -217,6 +230,14 @@ def _batch_fns_multi(Bsz: int, n: int, N: int, L: int, blowup: int,
     (k, B, N) (so t[s][c] is the (B, N) eval array of column c) and the
     per-proof composition alphas as (B, 1) columns, which broadcast exactly
     like the traced scalars of the single-proof path."""
+    from .merkle import _hash_backend
+
+    # hash backend for every committed tree; `sha` is the historical local
+    # name (binds SHA-256 or Poseidon2 — same entry-point surface)
+    sha = _hash_backend(hash_kind)
+
+    def _device_levels_b(leaves):
+        return _device_levels_batched(leaves, hash_kind)
     domain = Domain.new(n)
     shifted = Domain.new(N).get_coset(coset_shift)
     g = domain.group_gen()
@@ -259,7 +280,7 @@ def _batch_fns_multi(Bsz: int, n: int, N: int, L: int, blowup: int,
         leaf = jax.vmap(sha.hash_salted_leaves_multi)(lde, trace_salts)
         return dict(
             that=that, trace_lde=lde,
-            trace_levels=_device_levels_batched(leaf),
+            trace_levels=_device_levels_b(leaf),
         )
 
     def commit_quot(trace_lde, quot_salts, alphas, tb):
@@ -282,7 +303,7 @@ def _batch_fns_multi(Bsz: int, n: int, N: int, L: int, blowup: int,
         )
         return dict(
             q_evals=q_evals, q_coeffs=q_coeffs,
-            quot_levels=_device_levels_batched(
+            quot_levels=_device_levels_b(
                 sha.hash_salted_leaves(q_evals, quot_salts)
             ),
         )
@@ -312,10 +333,10 @@ def _batch_fns_multi(Bsz: int, n: int, N: int, L: int, blowup: int,
         return bb.mul(num, bb.inv(bb.sub(x[None, :], z[:, None])))
 
     def build_salted(values, salts):
-        return _device_levels_batched(sha.hash_salted_leaves(values, salts))
+        return _device_levels_b(sha.hash_salted_leaves(values, salts))
 
     def build_unsalted(values):
-        return _device_levels_batched(sha.hash_unsalted_leaves(values))
+        return _device_levels_b(sha.hash_unsalted_leaves(values))
 
     def gather_salted(levels, values, salts, idx):
         vals = jnp.take_along_axis(values, idx, axis=1)
@@ -347,8 +368,16 @@ def _batch_fns_multi(Bsz: int, n: int, N: int, L: int, blowup: int,
 
 @functools.lru_cache(maxsize=8)
 def _batch_fns(Bsz: int, n: int, N: int, L: int, blowup: int,
-               coset_shift: int, air):
+               coset_shift: int, air, hash_kind: str = "sha256"):
     """Jitted batched phases for (batch size, trace length)."""
+    from .merkle import _hash_backend
+
+    # hash backend for every committed tree; `sha` is the historical local
+    # name (binds SHA-256 or Poseidon2 — same entry-point surface)
+    sha = _hash_backend(hash_kind)
+
+    def _device_levels_b(leaves):
+        return _device_levels_batched(leaves, hash_kind)
     domain = Domain.new(n)
     shifted = Domain.new(N).get_coset(coset_shift)
     g = domain.group_gen()
@@ -381,7 +410,7 @@ def _batch_fns(Bsz: int, n: int, N: int, L: int, blowup: int,
         trace_lde = ntt_batched(
             bb.mont_mul(padded, tb["shift_fwd"][None, :]), tb["fft"], N
         )
-        trace_levels = _device_levels_batched(
+        trace_levels = _device_levels_b(
             sha.hash_salted_leaves(trace_lde, trace_salts)
         )
 
@@ -395,7 +424,7 @@ def _batch_fns(Bsz: int, n: int, N: int, L: int, blowup: int,
             bb.mul_const(ntt_batched(q_evals, tb["ifft"], N), N_inv),
             tb["shift_bwd"][None, :],
         )
-        quot_levels = _device_levels_batched(
+        quot_levels = _device_levels_b(
             sha.hash_salted_leaves(q_evals, quot_salts)
         )
         return dict(
@@ -423,10 +452,10 @@ def _batch_fns(Bsz: int, n: int, N: int, L: int, blowup: int,
         return bb.mul(num, bb.inv(bb.sub(x[None, :], z[:, None])))
 
     def build_salted(values, salts):
-        return _device_levels_batched(sha.hash_salted_leaves(values, salts))
+        return _device_levels_b(sha.hash_salted_leaves(values, salts))
 
     def build_unsalted(values):
-        return _device_levels_batched(sha.hash_unsalted_leaves(values))
+        return _device_levels_b(sha.hash_unsalted_leaves(values))
 
     def gather_salted(levels, values, salts, idx):
         vals = jnp.take_along_axis(values, idx, axis=1)
@@ -472,17 +501,18 @@ class BatchStarkProver:
 
     def _salts(self, i: int, n: int) -> jnp.ndarray:
         """Identical construction (and rng draw order) to
-        StarkProver._salts, per batch member."""
+        StarkProver._salts, per batch member — including the Poseidon2
+        field-range masking (byte-identity needs the exact same salts)."""
         key = jax.random.PRNGKey(int(self.rngs[i].integers(0, 2**63)))
-        return jax.random.bits(key, (n, 4), dtype=jnp.uint32)
+        bits = jax.random.bits(key, (n, 4), dtype=jnp.uint32)
+        if self.config.hash != "sha256":
+            bits = bits & jnp.uint32(0x7FFFFFFF)
+            bits = jnp.where(bits >= jnp.uint32(P), bits - jnp.uint32(P),
+                             bits)
+        return bits
 
     def generate_proofs(self) -> list:
         cfg = self.config
-        if cfg.hash != "sha256":
-            raise NotImplementedError(
-                "BatchStarkProver commits with SHA-256 only so far; use "
-                "StarkProver for Poseidon2 commitments"
-            )
         ext = cfg.ext_challenges
         k = getattr(self.air, "num_columns", 1)
         nc = getattr(self.air, "num_constraints", 1)
@@ -498,9 +528,10 @@ class BatchStarkProver:
         g = domain.group_gen()
         blow = cfg.blowup
 
-        fns = _batch_fns(B, n, N, L, blow, cfg.coset_shift, self.air)
+        fns = _batch_fns(B, n, N, L, blow, cfg.coset_shift, self.air,
+                         cfg.hash)
         if ext:
-            efns = _batch_ext_fns(blow, ns, k)
+            efns = _batch_ext_fns(blow, ns, k, cfg.hash)
 
         # ── commit (one dispatch for the whole batch) ─────────────────────
         with profiling.phase("batch_commit"):
@@ -523,8 +554,8 @@ class BatchStarkProver:
             quot_roots = np.asarray(quot_levels[-1], np.uint32)
 
         transcripts = [Transcript() for _ in range(B)]
-        trace_root_b = [sha.digest_bytes(trace_roots[i, 0]) for i in range(B)]
-        quot_root_b = [sha.digest_bytes(quot_roots[i, 0]) for i in range(B)]
+        trace_root_b = [_hash_backend(cfg.hash).digest_bytes(trace_roots[i, 0]) for i in range(B)]
+        quot_root_b = [_hash_backend(cfg.hash).digest_bytes(quot_roots[i, 0]) for i in range(B)]
         for i, tr in enumerate(transcripts):
             tr.absorb_commitment(trace_root_b[i])
             tr.absorb_commitment(quot_root_b[i])
@@ -615,7 +646,7 @@ class BatchStarkProver:
         levels0 = build_salted(d_evals, salts0)
         roots0 = np.asarray(levels0[-1], np.uint32)
         for i in range(B):
-            root = sha.digest_bytes(roots0[i, 0])
+            root = _hash_backend(cfg.hash).digest_bytes(roots0[i, 0])
             transcripts[i].absorb_commitment(root)
             fri_commitments[i].append(root)
         fri_levels.append(levels0)
@@ -643,7 +674,7 @@ class BatchStarkProver:
                 levels = build_salted(current, salts)
             roots = np.asarray(levels[-1], np.uint32)
             for i in range(B):
-                root = sha.digest_bytes(roots[i, 0])
+                root = _hash_backend(cfg.hash).digest_bytes(roots[i, 0])
                 transcripts[i].absorb_commitment(root)
                 fri_commitments[i].append(root)
             fri_levels.append(levels)
@@ -704,7 +735,7 @@ class BatchStarkProver:
         for i in range(B):
             def mk_open(indices, vals, paths, salts_np, j, depth):
                 prf = openings_from_paths(
-                    [indices[i][j]], paths[i][j:j + 1], depth
+                    [indices[i][j]], paths[i][j:j + 1], depth, cfg.hash
                 )[0]
                 salt = (
                     b"".join(int(w).to_bytes(4, "big") for w in salts_np[i][j])
@@ -758,6 +789,7 @@ class BatchStarkProver:
                     fri_final_layer=final,
                     query_proofs=query_proofs,
                     ext=ext,
+                    hash=cfg.hash,
                 )
             )
         return proofs
@@ -780,9 +812,10 @@ class BatchStarkProver:
         blow = cfg.blowup
         ext = cfg.ext_challenges
 
-        fns = _batch_fns_multi(B, n, N, L, blow, cfg.coset_shift, self.air)
+        fns = _batch_fns_multi(B, n, N, L, blow, cfg.coset_shift,
+                               self.air, cfg.hash)
         if ext:
-            efns = _batch_ext_fns(blow, ns, k)
+            efns = _batch_ext_fns(blow, ns, k, cfg.hash)
 
         # ── trace commit (one dispatch) ───────────────────────────────────
         with profiling.phase("batch_commit_trace"):
@@ -806,7 +839,7 @@ class BatchStarkProver:
             trace_roots = np.asarray(trace_levels[-1], np.uint32)
 
         transcripts = [Transcript() for _ in range(B)]
-        trace_root_b = [sha.digest_bytes(trace_roots[i, 0]) for i in range(B)]
+        trace_root_b = [_hash_backend(cfg.hash).digest_bytes(trace_roots[i, 0]) for i in range(B)]
         alphas = []
         for i, tr in enumerate(transcripts):
             tr.absorb_commitment(trace_root_b[i])
@@ -824,7 +857,7 @@ class BatchStarkProver:
             )
             quot_levels = out2["quot_levels"]
             quot_roots = np.asarray(quot_levels[-1], np.uint32)
-        quot_root_b = [sha.digest_bytes(quot_roots[i, 0]) for i in range(B)]
+        quot_root_b = [_hash_backend(cfg.hash).digest_bytes(quot_roots[i, 0]) for i in range(B)]
         for i, tr in enumerate(transcripts):
             tr.absorb_commitment(quot_root_b[i])
 
@@ -937,7 +970,7 @@ class BatchStarkProver:
         levels0 = build_salted(d_evals, salts0)
         roots0 = np.asarray(levels0[-1], np.uint32)
         for i in range(B):
-            root = sha.digest_bytes(roots0[i, 0])
+            root = _hash_backend(cfg.hash).digest_bytes(roots0[i, 0])
             transcripts[i].absorb_commitment(root)
             fri_commitments[i].append(root)
         fri_levels.append(levels0)
@@ -969,7 +1002,7 @@ class BatchStarkProver:
                 levels = build_salted(current, salts)
             roots = np.asarray(levels[-1], np.uint32)
             for i in range(B):
-                root = sha.digest_bytes(roots[i, 0])
+                root = _hash_backend(cfg.hash).digest_bytes(roots[i, 0])
                 transcripts[i].absorb_commitment(root)
                 fri_commitments[i].append(root)
             fri_levels.append(levels)
@@ -1031,7 +1064,7 @@ class BatchStarkProver:
         for i in range(B):
             def mk_open(indices, vals, paths, salts_np, j, depth):
                 prf = openings_from_paths(
-                    [indices[i][j]], paths[i][j:j + 1], depth
+                    [indices[i][j]], paths[i][j:j + 1], depth, cfg.hash
                 )[0]
                 salt = (
                     b"".join(int(w).to_bytes(4, "big") for w in salts_np[i][j])
@@ -1100,6 +1133,7 @@ class BatchStarkProver:
                     ood_trace=ood_traces[i],
                     num_columns=k,
                     num_shifts=ns,
+                    hash=cfg.hash,
                 )
             )
         return proofs
