@@ -10,7 +10,6 @@ by a generated-parameter KAT.
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from toyni_tpu.config import StarkConfig
 from toyni_tpu.field import poseidon2 as hp
@@ -268,13 +267,7 @@ GOLDEN_P2_SHA256 = (
 )
 
 
-def test_unsupported_provers_raise():
-    """The fused prover's on-device transcript is SHA-only so far — it must
-    refuse Poseidon2 configs loudly (phase/batch/distributed all support
-    them)."""
-    from toyni_tpu.prover_fused import FusedStarkProver
-
-    cfg = StarkConfig(hash="poseidon2")
-    t = _fib_trace(64)
-    with pytest.raises(NotImplementedError):
-        FusedStarkProver(t, config=cfg, seed=1).generate_proof()
+# (No unsupported-prover guard test anymore: since round 3 EVERY prover —
+# phase, fused, fused-batch, batch, distributed — commits Poseidon2;
+# byte-identity is covered by tests/test_fused_p2.py, test_batch_p2.py and
+# test_distributed_p2.py.)

@@ -69,10 +69,9 @@ def cmd_prove(args) -> int:
     # default = the fused single-dispatch prover at EVERY size — the
     # measured winner across the board since round 3's chunked compression
     # (0.39 vs 0.65 s/proof at 2^8, 0.61 vs 1.13 at 2^16, 8.5 vs 10.6 at
-    # 2^20 on v5e; PERF.md round-3 table). Poseidon2 commitments run on
-    # the phase prover (the fused prover's on-device transcript is
-    # SHA-only so far).
-    use_fused = (args.fused or not args.phase) and cfg.hash == "sha256"
+    # 2^20 on v5e; PERF.md round-3 table) — and in every hash mode (the
+    # device transcript absorbs Poseidon2 roots as their LE wire bytes).
+    use_fused = args.fused or not args.phase
     if use_fused:
         from toyni_tpu.prover_fused import FusedStarkProver as prover_cls
     else:
@@ -186,7 +185,7 @@ def main(argv=None) -> int:
     )
     pp.add_argument(
         "--phase", action="store_true",
-        help="force the phase prover (the default only for Poseidon2 commitments)",
+        help="force the phase prover (per-phase dispatches + host transcript)",
     )
     pp.set_defaults(fn=cmd_prove)
 

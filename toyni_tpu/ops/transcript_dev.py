@@ -107,7 +107,13 @@ def _part_bytes(item):
     """One absorb item -> list of byte values (ints / traced u32 scalars).
 
     bytes            -> raw constant bytes
-    ("digest", d)    -> the 32 bytes of a (8,) u32 BE digest/root
+    ("digest", d)    -> the 32 bytes of a (8,) u32 BE digest/root (SHA-256
+                        digest words and SHA-mode Merkle roots)
+    ("digest_le", d) -> the 32 bytes of a (8,) u32 LE-word digest — the
+                        wire encoding of a Poseidon2 Merkle root
+                        (field/poseidon2.py digest_to_bytes); the host
+                        transcript absorbs root BYTES, so the byte order
+                        follows the commitment hash
     ("le8", v)       -> 8-byte LE of a u32 field scalar (absorb_field's
                         encoding, transcript.rs:24-26; high 4 bytes zero)
     """
@@ -120,6 +126,13 @@ def _part_bytes(item):
             w = v[i]
             out += [(w >> 24) & _U32(0xFF), (w >> 16) & _U32(0xFF),
                     (w >> 8) & _U32(0xFF), w & _U32(0xFF)]
+        return out
+    if kind == "digest_le":
+        out = []
+        for i in range(8):
+            w = v[i]
+            out += [w & _U32(0xFF), (w >> 8) & _U32(0xFF),
+                    (w >> 16) & _U32(0xFF), (w >> 24) & _U32(0xFF)]
         return out
     if kind == "le8":
         v = jnp.asarray(v, _U32)

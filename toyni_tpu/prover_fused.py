@@ -87,11 +87,30 @@ def _salt_bits(key2, size: int):
 @functools.lru_cache(maxsize=8)
 def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
                final_size: int, num_queries: int, k: int, nc: int, ns: int,
-               ext: bool):
+               ext: bool, hash_kind: str = "sha256"):
     """One jitted program covering the whole proof for trace length n."""
     from .domain import _shift_tables
-    from .ops import sha256 as sha
+    from .merkle import _hash_backend
     from .ops import transcript_dev as td
+
+    # hash backend for every committed tree; the on-device TRANSCRIPT is
+    # always SHA-256 (td) — only the commitments switch. `sha` is the
+    # historical local name.
+    sha = _hash_backend(hash_kind)
+    # Merkle roots absorb as their wire BYTES: BE words for SHA-256
+    # digests, LE words for Poseidon2 (see td._part_bytes)
+    _root_part = "digest" if hash_kind == "sha256" else "digest_le"
+
+    def rootp(w):
+        return (_root_part, w)
+
+    def salt_bits(key2, size):
+        bits = _salt_bits(key2, size)
+        if hash_kind != "sha256":
+            bits = bits & jnp.uint32(0x7FFFFFFF)
+            bits = jnp.where(bits >= jnp.uint32(P), bits - jnp.uint32(P),
+                             bits)
+        return bits
     from .ops.fri import fri_fold_ext
     from .ops.ntt import apply_ntt, ntt_tables
     from .pipeline import _fold_traced
@@ -156,7 +175,8 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
 
     def tree_salted(kind, values, salts):
         size = values.shape[1] if (kind == "trace" and k > 1) else values.shape[0]
-        levels = _device_levels(hash_leaves(kind, values, salts))
+        levels = _device_levels(hash_leaves(kind, values, salts),
+                                hash_kind)
         root_w = levels[-1][0]
         if size >= LEAFLESS_MIN:
             levels = levels[1:]
@@ -202,7 +222,7 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
                                       tb["shift_fwd"]), tb["fft"], N)
             )
         lde_k = jnp.stack(ldes)
-        trace_salts = _salt_bits(salt_keys[0], N)
+        trace_salts = salt_bits(salt_keys[0], N)
         trace_levels, trace_root_w = tree_salted(
             "trace", lde_k if k > 1 else lde_k[0], trace_salts
         )
@@ -210,7 +230,7 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         # ── alphas (multi-constraint composition, squeezed from the trace
         #    root — the transcript splits the commit in two) ───────────────
         if nc > 1:
-            d = td.hash_parts([SEED, ("digest", trace_root_w)])
+            d = td.hash_parts([SEED, rootp(trace_root_w)])
             alpha_list = [td.challenge_from_digest(d)]
             for _ in range(nc - 1):
                 d = td.ratchet(d)
@@ -219,7 +239,7 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
             pre_z_parts = [("digest", d)]
         else:
             alphas = None
-            pre_z_parts = [SEED, ("digest", trace_root_w)]
+            pre_z_parts = [SEED, rootp(trace_root_w)]
 
         # ── constraint, quotient, quotient commit (fibonacci.rs:132-154) ──
         t_views = [jnp.roll(lde_k, -s * blowup, axis=1) for s in range(ns)]
@@ -229,9 +249,9 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         else:
             c_evals = air.constraint_lde(t_args, tb["x"], g, n)
         q_evals = bb.mont_mul(c_evals, tb["zh_tile"])
-        quot_salts = _salt_bits(salt_keys[1], N)
+        quot_salts = salt_bits(salt_keys[1], N)
         quot_levels, quot_root_w = tree_salted("base", q_evals, quot_salts)
-        pre_z_parts.append(("digest", quot_root_w))
+        pre_z_parts.append(rootp(quot_root_w))
 
         # ── transcript: z (rejection sampling, fibonacci.rs:156-161) ──────
         if ext:
@@ -307,7 +327,7 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
             d_evals = bb.mul(num, inv_xz)
 
         # ── FRI: on-device betas (fibonacci.rs:200-247) ───────────────────
-        fri_salts0 = _salt_bits(salt_keys[2], N)
+        fri_salts0 = salt_bits(salt_keys[2], N)
         kind_fri = "ext" if ext else "base"
         levels0, root0_w = tree_salted(kind_fri, d_evals, fri_salts0)
         fri_levels = [levels0]
@@ -318,7 +338,7 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         absorb_parts = (
             [("digest", digest)]
             + [p for i in range(ns * k + 1) for p in le_parts(ood[i])]
-            + [("digest", root0_w)]
+            + [rootp(root0_w)]
         )
         current = d_evals
         xs_inv = tb["xs_inv0"]
@@ -327,7 +347,7 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         for j in range(num_folds):
             digest, beta = squeeze_absorbed(
                 absorb_parts if j == 0
-                else [("digest", digest), ("digest", prev_root)]
+                else [("digest", digest), rootp(prev_root)]
             )
             half = current.shape[0] // 2
             if ext:
@@ -340,10 +360,10 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
                     sha.hash_unsalted_leaves_ext(current) if ext
                     else sha.hash_unsalted_leaves(current)
                 )
-                levels = _device_levels(leaves)
+                levels = _device_levels(leaves, hash_kind)
                 root_w = levels[-1][0]
             else:
-                salts = _salt_bits(salt_keys[ki], current.shape[0])
+                salts = salt_bits(salt_keys[ki], current.shape[0])
                 ki += 1
                 levels, root_w = tree_salted(kind_fri, current, salts)
                 fri_levels.append(levels)
@@ -354,7 +374,7 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
 
         # ── query indices (fibonacci.rs:249-251) ──────────────────────────
         digest, qidx = td.squeeze_indices_loop(
-            [("digest", digest), ("digest", prev_root)], Q, half0
+            [("digest", digest), rootp(prev_root)], Q, half0
         )
 
         # ── fused gathers for every opened tree ───────────────────────────
@@ -447,11 +467,13 @@ def _fused_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
 
 
 def _assemble_proof(air, n: int, N: int, blowup: int, k: int, nc: int,
-                    ns: int, ext: bool, fns, out) -> StarkProof:
+                    ns: int, ext: bool, fns, out,
+                    hash_kind: str = "sha256") -> StarkProof:
     """Host-side proof assembly from the fused program's materialized numpy
     outputs (one proof's worth); mirrors prover.py's assembly int math."""
-    from .ops import sha256 as sha
+    from .merkle import _hash_backend
 
+    sha = _hash_backend(hash_kind)
     multi = fns["multi"]
     num_folds = fns["num_folds"]
     trace_root = sha.digest_bytes(out["trace_root"])
@@ -521,7 +543,8 @@ def _assemble_proof(air, n: int, N: int, blowup: int, k: int, nc: int,
     all_idx = [trace_idx, quot_idx, deep_idx] + fri_idx
     done = []
     for t, idx, (vals, paths, salts) in zip(fns["gspec"], all_idx, parts):
-        done.append((vals, openings_from_paths(idx, paths, t["depth"]), salts))
+        done.append((vals, openings_from_paths(idx, paths, t["depth"],
+                                               hash_kind), salts))
     tr_vals, tr_proofs, tr_salts = done[0]
     q_vals, q_proofs, q_salts = done[1]
     d_vals, d_proofs, d_salts = done[2]
@@ -575,6 +598,7 @@ def _assemble_proof(air, n: int, N: int, blowup: int, k: int, nc: int,
         fri_final_layer=fri_final_layer,
         query_proofs=query_proofs,
         ext=ext,
+        hash=hash_kind,
     )
     if multi:
         return StarkProof(
@@ -605,12 +629,6 @@ class FusedStarkProver:
 
     def generate_proof(self) -> StarkProof:
         cfg = self.config
-        if cfg.hash != "sha256":
-            raise NotImplementedError(
-                "FusedStarkProver commits with SHA-256 only (its on-device "
-                "transcript is a SHA ratchet); use StarkProver for "
-                "Poseidon2 commitments"
-            )
         n = self.trace.num_rows
         N = n * cfg.blowup
         B = cfg.blowup
@@ -625,7 +643,7 @@ class FusedStarkProver:
         )
         fns = _fused_fns(
             n, N, n + m, B, cfg.coset_shift, self.air, final_size,
-            cfg.num_queries, k, nc, ns, ext,
+            cfg.num_queries, k, nc, ns, ext, cfg.hash,
         )
         num_folds = fns["num_folds"]
         multi = fns["multi"]
@@ -653,7 +671,7 @@ class FusedStarkProver:
             out_np = {key: np.asarray(v) for key, v in out.items()}
 
         return _assemble_proof(
-            self.air, n, N, B, k, nc, ns, ext, fns, out_np
+            self.air, n, N, B, k, nc, ns, ext, fns, out_np, cfg.hash
         )
 
 
@@ -693,6 +711,7 @@ class FusedBatchStarkProver:
         fns = _fused_fns(
             n, N, n + m, cfg.blowup, cfg.coset_shift, self.air,
             cfg.final_layer_size(n), cfg.num_queries, k, nc, ns, ext,
+            cfg.hash,
         )
         multi = fns["multi"]
         num_keys = 2 + fns["num_folds"]
@@ -725,7 +744,7 @@ class FusedBatchStarkProver:
         return [
             _assemble_proof(
                 self.air, n, N, cfg.blowup, k, nc, ns, ext, fns,
-                {key: v[b] for key, v in out_np.items()},
+                {key: v[b] for key, v in out_np.items()}, cfg.hash,
             )
             for b in range(nb)
         ]
