@@ -271,3 +271,23 @@ GOLDEN_P2_SHA256 = (
 # phase, fused, fused-batch, batch, distributed — commits Poseidon2;
 # byte-identity is covered by tests/test_fused_p2.py, test_batch_p2.py and
 # test_distributed_p2.py.)
+
+
+def test_e2e_leafless_trees_p2(monkeypatch):
+    """The leafless-tree query path (sibling leaf digests recomputed from
+    value + salt at gather time — automatic for huge LDEs) with Poseidon2
+    commitments, at a small size by lowering the threshold."""
+    from toyni_tpu import merkle as mk
+    from toyni_tpu import prover as prover_mod
+    from toyni_tpu.prover import StarkProver
+
+    monkeypatch.setattr(mk, "LEAFLESS_MIN", 1024)
+    mk._tree_builder.cache_clear()
+    prover_mod._phase_fns.cache_clear()
+    try:
+        cfg = StarkConfig(hash="poseidon2")
+        p = StarkProver(_fib_trace(64), config=cfg, seed=21).generate_proof()
+        assert StarkVerifier(config=cfg).verify(p)
+    finally:
+        mk._tree_builder.cache_clear()
+        prover_mod._phase_fns.cache_clear()
