@@ -12,7 +12,9 @@ this framework's own CPU execution of the identical computation (the
 reference's CPU-vs-accelerator comparison, src/ntt.rs:264-287, in spirit).
 
 `extra` carries the BASELINE.md end-to-end metrics: Fibonacci proofs/sec at
-trace 2^8 and 2^16 (full ZK pipeline, host-verified), measured steady-state
+trace 2^8 and 2^16 (full ZK pipeline, host-verified), plus an optional
+Poseidon2-commitment stage at 2^8 (the fastest measured configuration,
+~3.4 proofs/s on v5e), measured steady-state
 with the fused single-dispatch prover at both sizes: it wins outright at
 2^8 (0.42 vs 0.65 s/proof) and ties the phase prover at 2^16 (~1.1 s)
 while COLD-TRACING ~10x faster — the phase prover's unrolled-SHA tree
@@ -99,15 +101,22 @@ def _bench_backend(device, log_n: int, iters: int) -> float:
 def _bench_proofs(device, rows: int, iters: int, prover: str = "fused"):
     """Steady-state seconds/proof at `rows` trace rows (full ZK pipeline);
     the first proof is host-verified. `prover`: 'fused' (single-dispatch —
-    the measured winner: 0.42 vs 0.65 s/proof at 2^8 on v5e) or 'phase'."""
+    the measured winner: 0.42 vs 0.65 s/proof at 2^8 on v5e), 'phase', or
+    'fused_p2' (fused prover committing with the Poseidon2 arithmetic hash —
+    the fastest measured configuration at small traces, 0.28 s/proof)."""
     import jax
 
+    from toyni_tpu.config import StarkConfig
     from toyni_tpu.field.babybear import P
     from toyni_tpu.trace import ExecutionTrace
     from toyni_tpu.verifier import StarkVerifier
 
-    if prover == "fused":
+    cfg = StarkConfig()
+    if prover.startswith("fused"):
         from toyni_tpu.prover_fused import FusedStarkProver as prover_cls
+
+        if prover == "fused_p2":
+            cfg = StarkConfig(hash="poseidon2")
     else:
         from toyni_tpu.prover import StarkProver as prover_cls
 
@@ -122,11 +131,13 @@ def _bench_proofs(device, rows: int, iters: int, prover: str = "fused"):
         t.insert_column(fibs)
         return t
 
-    first = prover_cls(trace(), seed=1).generate_proof()
-    assert StarkVerifier().verify(first), "bench proof rejected by verifier"
+    first = prover_cls(trace(), config=cfg, seed=1).generate_proof()
+    assert StarkVerifier(config=cfg).verify(first), (
+        "bench proof rejected by verifier"
+    )
     t0 = time.perf_counter()
     for i in range(iters):
-        prover_cls(trace(), seed=10 + i).generate_proof()
+        prover_cls(trace(), config=cfg, seed=10 + i).generate_proof()
     return (time.perf_counter() - t0) / iters
 
 
@@ -184,13 +195,18 @@ def main() -> None:
     # ~9 min cold (vs the phase prover's ~840 s of tracing alone, the
     # round-2 stage_timeout). The deadline guard below still protects the
     # headline metric if a stage cannot fit.
-    for key, rows, iters, budget, prover in (
-        ("proofs_per_sec_2e8", 1 << 8, 5, 420, "fused"),
-        ("proofs_per_sec_2e16", 1 << 16, 2, 1200, "fused"),
+    for key, rows, iters, budget, prover, optional in (
+        ("proofs_per_sec_2e8", 1 << 8, 5, 420, "fused", False),
+        ("proofs_per_sec_2e16", 1 << 16, 2, 1200, "fused", False),
+        # Poseidon2 commitment mode — the fastest measured configuration at
+        # small traces (0.28 s/proof on v5e); optional: silently skipped if
+        # the mandatory stages consumed the budget.
+        ("proofs_per_sec_2e8_p2", 1 << 8, 5, 300, "fused_p2", True),
     ):
         budget = min(budget, _remaining() - 90)  # keep teardown headroom
         if budget < 120:
-            extra[key] = None
+            if not optional:
+                extra[key] = None
             continue
         spp, err = _proofs_subprocess(rows, iters, budget, prover)
         extra[key] = round(1.0 / spp, 3) if spp else None
