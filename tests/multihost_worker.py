@@ -48,3 +48,36 @@ assert proof_mod.serialize(p_dist) == proof_mod.serialize(p_single), (
     "multi-process proof differs from single-process proof"
 )
 print(f"MULTIHOST_OK {pid}", flush=True)
+
+# ── optional second act: mid-run peer-death drill (test_multihost.py) ───────
+# The first (successful) proof warmed every jitted phase, so the second
+# proof's phases are fast and a small PhaseWatchdog timeout is safe. The
+# designated victim process kills itself -9-style right after the commit
+# phase (after absorbing both roots); the survivor then blocks in the OOD
+# collective and its watchdog must terminate it promptly with a diagnostic.
+_die_pid = os.environ.get("TOYNI_TEST_DIE_MID_PROOF")
+if _die_pid is not None:
+    wd_timeout = float(os.environ.get("TOYNI_TEST_PHASE_TIMEOUT", "20"))
+    if int(_die_pid) == pid:
+        from toyni_tpu import transcript as _tmod
+
+        _orig_absorb = _tmod.Transcript.absorb_commitment
+        _calls = {"n": 0}
+
+        def _dying_absorb(self, root):
+            _calls["n"] += 1
+            if _calls["n"] == 2:  # right after the commit phase completes
+                print(f"MULTIHOST_VICTIM_DYING {pid}", flush=True)
+                os._exit(1)
+            return _orig_absorb(self, root)
+
+        _tmod.Transcript.absorb_commitment = _dying_absorb
+        DistributedStarkProver(trace, 8, seed=6).generate_proof()
+        raise SystemExit("victim unexpectedly survived")
+    # survivor: watchdog-armed proof attempt; expected to be terminated by
+    # the PhaseWatchdog (exit code 87) once the victim is gone
+    print(f"MULTIHOST_SURVIVOR_ARMED {pid}", flush=True)
+    DistributedStarkProver(
+        trace, 8, seed=6, phase_timeout_s=wd_timeout
+    ).generate_proof()
+    print(f"MULTIHOST_UNEXPECTED_COMPLETION {pid}", flush=True)

@@ -35,6 +35,87 @@ def test_cyclic_layout_roundtrip():
     np.testing.assert_array_equal(from_cyclic_np(cs), s)
 
 
+def test_roll_cyclic_local_matches_global_roll():
+    """roll_cyclic_local must equal the cyclic re-layout of jnp.roll(v, -r)
+    for every shard-offset class of r — including r not divisible by D (the
+    cross-shard ppermute path that removed the D | blowup precondition)."""
+    N = 64
+    mesh = cpu_mesh()
+    v = RNG.integers(0, P, N, dtype=np.uint64)
+    for r in (0, 8, 24, 1, 5, 13, 60, 4 + D * 3):
+        shard = jax.shard_map(
+            lambda x: mesh_mod.roll_cyclic_local(x[0], r, D)[None],
+            mesh=mesh, in_specs=(Pspec(AXIS, None),),
+            out_specs=Pspec(AXIS, None),
+        )
+        got = np.asarray(
+            jax.jit(shard)(jnp.asarray(to_cyclic_np(v, D).astype(np.uint32))),
+            np.uint64,
+        )
+        expect = to_cyclic_np(np.roll(v, -r), D)
+        np.testing.assert_array_equal(got, expect, err_msg=f"r={r}")
+    # leading-axis variant (multi-column (k, m) local arrays roll on axis 1)
+    vk = RNG.integers(0, P, (2, N), dtype=np.uint64)
+    cyc_k = np.stack([to_cyclic_np(row, D) for row in vk], axis=1)  # (D,2,m)
+    shard = jax.shard_map(
+        lambda x: mesh_mod.roll_cyclic_local(x[0], 13, D, axis=1)[None],
+        mesh=mesh, in_specs=(Pspec(AXIS, None, None),),
+        out_specs=Pspec(AXIS, None, None),
+    )
+    got = np.asarray(jax.jit(shard)(jnp.asarray(cyc_k.astype(np.uint32))),
+                     np.uint64)
+    expect = np.stack(
+        [to_cyclic_np(np.roll(row, -13), D) for row in vk], axis=1
+    )
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_small_plan_ntt_replicated_fallback():
+    """N < D^2 (here 32 < 64): plan_tables returns the `small` plan and the
+    forward/inverse local transforms run the replicated fallback — results
+    must still match the single-device oracle exactly."""
+    N = 32
+    omega = get_root_of_unity(5)
+    mesh = cpu_mesh()
+    plan = ntt_dist.plan_tables(N, D, omega)
+    assert plan.get("small")
+
+    def fwd(x_blk, W):
+        return ntt_dist.ntt_forward_local(x_blk, W, plan)
+
+    shard = jax.shard_map(
+        fwd, mesh=mesh,
+        in_specs=(Pspec(AXIS), Pspec(None, AXIS)),
+        out_specs=Pspec(AXIS),
+    )
+    x = RNG.integers(0, P, N, dtype=np.uint64)
+    got_raw = np.asarray(
+        jax.jit(shard)(jnp.asarray(x.astype(np.uint32)),
+                       jnp.asarray(plan["W"])),
+        np.uint64,
+    )
+    got = from_cyclic_np(got_raw.reshape(D, N // D))
+    np.testing.assert_array_equal(got, oracle.ntt(x, omega))
+
+    def roundtrip(x_blk, W, W_inv):
+        y = ntt_dist.ntt_forward_local(x_blk, W, plan)
+        return ntt_dist.ntt_inverse_local(y, W_inv, plan)
+
+    shard_rt = jax.shard_map(
+        roundtrip, mesh=mesh,
+        in_specs=(Pspec(AXIS), Pspec(None, AXIS), Pspec(None, AXIS)),
+        out_specs=Pspec(AXIS),
+    )
+    got_rt = np.asarray(
+        jax.jit(shard_rt)(
+            jnp.asarray(x.astype(np.uint32)),
+            jnp.asarray(plan["W"]), jnp.asarray(plan["W_inv"]),
+        ),
+        np.uint64,
+    )
+    np.testing.assert_array_equal(got_rt, x)
+
+
 def test_distributed_ntt_matches_single_device():
     N = 512
     omega = get_root_of_unity(9)
@@ -141,11 +222,9 @@ def test_sharded_prove_step_matches_single_chip():
     # trace LDE values agree (cyclic -> natural order)
     lde_dist = from_cyclic_np(np.asarray(out["trace_lde"], np.uint64))
     np.testing.assert_array_equal(lde_dist, np.asarray(single["trace_lde"], np.uint64))
-    # quotient coefficients agree
-    np.testing.assert_array_equal(
-        np.asarray(out["q_coeffs_loc"], np.uint64),
-        np.asarray(single["q_coeffs"], np.uint64),
-    )
+    # (the quotient stays in eval form everywhere since round 4 — its
+    # coefficient-space check retired along with the sharded quotient IFFT;
+    # q_evals equality is covered transitively by the quot_root match above)
 
 
 def test_sharded_prove_step_fri_salted_and_replicated_tail():

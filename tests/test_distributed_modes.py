@@ -115,6 +115,18 @@ def test_interactive_distributed_multi_ext():
     )
 
 
+def test_interactive_distributed_nondividing_blowup():
+    """D = 8 does NOT divide blowup = 4: every trace roll crosses shard
+    boundaries (mesh.roll_cyclic_local's ppermute path). The proof must stay
+    byte-identical to the single-device prover — the round-4 removal of the
+    `D | blowup` layout precondition."""
+    from toyni_tpu.config import StarkConfig
+
+    cfg = StarkConfig(blowup=4)
+    assert cfg.blowup % D != 0
+    _assert_dist_matches_single(128, cfg=cfg)
+
+
 def test_interactive_distributed_replicated_fri_tail():
     """final_layer_size (4) smaller than the mesh (8): the tiny FRI tail
     folds replicated; the proof must stay byte-identical."""

@@ -13,18 +13,49 @@ Layout conventions used throughout `parallel/`:
   global (D, N/D) array (row d = device d's subsequence, local index j ↔
   global i = j*D + d) sharded on axis 0. This is the layout the distributed
   NTT *outputs*, and it is closed under every FRI fold (pairs (i, i+half)
-  share i mod D whenever D | half) and under trace rolls by the blowup
-  (D | blowup) — so the entire constraint/quotient/DEEP/FRI pipeline runs
-  with **zero communication** between the NTT and the Merkle commits.
+  share i mod D whenever D | half). Trace rolls by the blowup are local
+  when D | blowup and otherwise cost one boundary `ppermute`
+  (`roll_cyclic_local`) — so the constraint/quotient/DEEP/FRI pipeline
+  runs with (at most ns-1 single-hop permutes of) communication between
+  the NTT and the Merkle commits, on any mesh width.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec
 
 AXIS = "shards"
+
+
+def roll_cyclic_local(x_loc, r: int, D: int, axis: int = 0):
+    """Inside shard_map: this shard's slice of the global roll-by-`-r` of a
+    cyclic-layout vector (w[i] = v[(i + r) mod N], the trace-shift direction
+    jnp.roll(v, -r)).
+
+    When D | r the rolled value at global j*D + d is v[(j + r/D)*D + d] —
+    the shard assignment is unchanged and this is a pure local roll (the
+    round-1..3 fast path, which required D | blowup). For general r =
+    q*D + s the data for shard d lives on shard (d + s) mod D, at local
+    offset q or q + 1 depending on whether d + s wraps past D — one
+    `ppermute` around the shard ring with a per-shard choice between the two
+    local shifts. So trace rolls cost at most one boundary permute on ANY
+    mesh width; no D | blowup precondition remains."""
+    m = x_loc.shape[axis]
+    r %= D * m
+    q, s = divmod(r, D)
+    if s == 0:
+        return jnp.roll(x_loc, -q, axis=axis) if q else x_loc
+    d = jax.lax.axis_index(AXIS)
+    send = jnp.where(
+        d >= s,
+        jnp.roll(x_loc, -q, axis=axis),
+        jnp.roll(x_loc, -(q + 1), axis=axis),
+    )
+    perm = [(src, (src - s) % D) for src in range(D)]
+    return jax.lax.ppermute(send, AXIS, perm)
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:

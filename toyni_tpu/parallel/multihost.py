@@ -29,10 +29,91 @@ single-process prover.
 
 from __future__ import annotations
 
+import os
+import sys
+import threading
+import time
+
 import numpy as np
 import jax
 
 from .mesh import AXIS
+
+
+class PhaseWatchdog:
+    """Mid-run failure detection for multi-process proving (SURVEY §5).
+
+    `initialize(timeout_s=...)` only bounds group FORMATION; a peer that
+    dies INSIDE a collective leaves the surviving processes blocked in
+    native transport code (Gloo across hosts, ICI on a pod) where Python
+    exceptions and signals never surface. The watchdog bounds every device
+    phase instead: the prover calls `checkpoint(phase)` at each host-sync
+    boundary (a transcript round trip), and a daemon monitor thread
+    terminates the process with a diagnostic on stderr if no checkpoint
+    lands within `phase_timeout_s` — turning an indefinite multi-host hang
+    into a prompt, attributed failure an external supervisor can act on.
+    (The pure-functional prover is rerun-safe, so recovery = re-execution
+    on the surviving group; there is no partial state to repair.)
+
+    The hard `os._exit` is deliberate: the main thread is stuck in a C++
+    collective and cannot unwind, so raising in the monitor thread would
+    change nothing. Size `phase_timeout_s` to the slowest legitimate phase
+    INCLUDING its first-call compile, or enter the watchdog only after a
+    warm-up proof.
+    """
+
+    def __init__(self, phase_timeout_s: float, *, exit_code: int = 87,
+                 poll_s: float | None = None, _exit=os._exit):
+        self.timeout = float(phase_timeout_s)
+        self.exit_code = exit_code
+        self.poll_s = poll_s if poll_s is not None else min(
+            1.0, self.timeout / 4
+        )
+        self._exit = _exit  # injectable for unit tests
+        self._last = time.monotonic()
+        self._phase = "start"
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def checkpoint(self, phase: str) -> None:
+        """Record forward progress; resets the phase deadline."""
+        self._phase = phase
+        self._last = time.monotonic()
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.poll_s):
+            stalled = time.monotonic() - self._last
+            if stalled > self.timeout:
+                print(
+                    f"[toyni PhaseWatchdog] no progress for {stalled:.1f}s "
+                    f"(limit {self.timeout:.1f}s) since phase "
+                    f"{self._phase!r} on process {jax.process_index()} — a "
+                    f"peer likely died mid-collective; terminating with "
+                    f"exit code {self.exit_code}",
+                    file=sys.stderr, flush=True,
+                )
+                sys.stderr.flush()
+                self._exit(self.exit_code)
+                return  # only reached with an injected _exit (tests)
+
+    def start(self) -> "PhaseWatchdog":
+        self.checkpoint("start")
+        self._thread = threading.Thread(
+            target=self._run, name="toyni-phase-watchdog", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "PhaseWatchdog":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
 
 
 def initialize(coordinator_address: str | None = None,

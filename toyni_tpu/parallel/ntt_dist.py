@@ -63,6 +63,25 @@ def plan_tables(N: int, D: int, omega: int):
     def tw(n, om):
         return tuple(jnp.asarray(t) for t in _twiddle_tables(n, om))
 
+    if n2 % D != 0:
+        # Tiny-transform fallback (N < D^2, i.e. each shard holds fewer than
+        # D elements): the four-step's all-to-all needs D | n2 to split the
+        # local block into D equal chunks. Rather than precondition the mesh
+        # (the round-1..3 `D^2 | lde_size` assert), gather the whole vector —
+        # it is under D^2 elements, noise at any mesh width where this path
+        # triggers — and run the full transform replicated on every shard.
+        return dict(
+            D=D, n2=n2, small=True,
+            full_fwd=tw(N, omega),
+            full_inv=tw(N, pow(omega, P - 2, P)),
+            inv_N_mont=pow(N, P - 2, P) * MONT_R % P,
+            # step-3 twiddles are unused on this path; keep (D, D) zero
+            # placeholders so callers can pass plan["W"] sharded on axis 1
+            # (local slice (D, 1)) without branching
+            W=np.zeros((D, D), np.uint32),
+            W_inv=np.zeros((D, D), np.uint32),
+        )
+
     # step-3 twiddle matrix W[k1, j2] = omega^(j2*k1); inverse uses omega^-1
     rows = []
     rows_inv = []
@@ -93,6 +112,15 @@ def ntt_forward_local(x_loc: jnp.ndarray, W_loc: jnp.ndarray, plan) -> jnp.ndarr
     of the step-3 twiddle matrix. Returns (n2,) = X[k2*D + d] for k2 < n2.
     """
     D, n2 = plan["D"], plan["n2"]
+    if plan.get("small"):
+        # N < D^2 fallback: gather the (tiny) whole vector, transform it
+        # replicated, keep this shard's cyclic subsequence X[j*D + d]
+        full = jax.lax.all_gather(x_loc, AXIS, axis=0).reshape(D * n2)
+        y = ntt_stages(full, plan["full_fwd"])
+        d = jax.lax.axis_index(AXIS)
+        return jax.lax.dynamic_slice_in_dim(
+            y.reshape(n2, D).T, d, 1, axis=0
+        )[0]
     # 1. transpose #1: block rows -> column blocks (device d keeps columns
     #    j2 in its block, all rows)
     cm = jax.lax.all_to_all(x_loc.reshape(D, n2 // D), AXIS, 0, 0)
@@ -110,6 +138,14 @@ def ntt_forward_local(x_loc: jnp.ndarray, W_loc: jnp.ndarray, plan) -> jnp.ndarr
 def ntt_inverse_local(y_loc: jnp.ndarray, W_inv_loc: jnp.ndarray, plan) -> jnp.ndarray:
     """Local body of the inverse transform (cyclic in -> block out)."""
     D, n2 = plan["D"], plan["n2"]
+    if plan.get("small"):
+        # cyclic local rows -> natural full vector on every shard
+        g = jax.lax.all_gather(y_loc, AXIS, axis=0)      # (D, n2)
+        full = jnp.swapaxes(g, 0, 1).reshape(D * n2)
+        a = ntt_stages(full, plan["full_inv"])
+        a = bb.mont_mul(a, jnp.uint32(plan["inv_N_mont"]))
+        d = jax.lax.axis_index(AXIS)
+        return jax.lax.dynamic_slice_in_dim(a, d * n2, n2)
     # 1. row INTT over k2 (size n2): recovers A[d, j2]
     a = ntt_stages(y_loc, plan["row_inv"])
     a = bb.mont_mul(a, jnp.uint32(plan["inv_n2_mont"]))

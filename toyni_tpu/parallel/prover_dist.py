@@ -7,8 +7,10 @@ chips:
   trace column (replicated, small)
     -> replicated INTT + ZK mask                 [tiny: n + mask coeffs]
     -> block-sharded coset LDE via 4-step NTT    [2 all-to-alls]
-    -> cyclic-layout constraint / quotient       [no communication]
-    -> distributed coset IFFT of the quotient    [2 all-to-alls]
+    -> cyclic-layout constraint / quotient       [no communication when
+                                                  D | blowup; otherwise one
+                                                  boundary ppermute per
+                                                  trace shift]
     -> DEEP numerators + batched inversion       [no communication]
     -> FRI folds                                 [no communication while
                                                   D | half: cyclic pairs are
@@ -19,8 +21,12 @@ chips:
        block layout + local subtrees + all-gather of D sub-roots + replicated
        top tree -> roots
 
-Communication total: 4 all-to-alls for the two big NTTs + one all-to-all +
-one (D,8)-word all-gather per commitment — independent of log N. The
+Communication total: 2 all-to-alls for the one big forward NTT + one
+all-to-all + one (D,8)-word all-gather per commitment — independent of
+log N. (The quotient IFFT and its 2 all-to-alls were retired in round 4:
+barycentric OOD evaluation — round 2 — removed every consumer of the
+quotient's coefficient form, and the real provers had already dropped
+it.) The
 transcript-driven scalars (z, betas) enter as inputs; the interactive prover
 obtains them between phases, the benchmark/dryrun feeds fixed values.
 """
@@ -40,10 +46,10 @@ from ..domain import Domain
 from ..field import babybear as bb
 from ..field.babybear import P, MONT_R
 from ..ops import sha256 as sha
-from ..ops.ntt import ntt, intt, np_powers
+from ..ops.ntt import intt, np_powers
 from ..pipeline import _fold_traced
 from . import ntt_dist
-from .mesh import AXIS, make_mesh, to_cyclic_np
+from .mesh import AXIS, make_mesh, roll_cyclic_local, to_cyclic_np
 
 _U32 = jnp.uint32
 
@@ -112,8 +118,11 @@ def make_sharded_prove_step(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
     devices. The function computes both commitments, DEEP, all FRI layers and
     all FRI roots in one compiled program."""
     N = n * cfg.blowup
-    assert N % (D * D) == 0, "need D^2 | lde_size for the four-step layout"
-    assert cfg.blowup % D == 0, "need D | blowup so trace rolls stay local"
+    assert N % D == 0, "mesh width must divide the LDE size"
+    # No other layout preconditions since round 4: trace rolls cross shard
+    # boundaries via roll_cyclic_local when D does not divide the blowup,
+    # and the four-step NTT falls back to a replicated tiny transform when
+    # N < D^2 (ntt_dist.plan_tables `small`).
     m = cfg.mask_degree
     L = n + m
     final_size = cfg.final_layer_size(n)
@@ -132,7 +141,7 @@ def make_sharded_prove_step(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
 
     mesh = make_mesh(D)
     plan = ntt_dist.plan_tables(N, D, shifted.omega)
-    shift_fwd, shift_bwd = ntt_dist.shift_tables_np(N, cfg.coset_shift)
+    shift_fwd, _shift_bwd_unused = ntt_dist.shift_tables_np(N, cfg.coset_shift)
 
     # host tables in cyclic layout
     x_np = shifted.elements_np().astype(np.uint32)
@@ -167,9 +176,7 @@ def make_sharded_prove_step(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
         zh_loc,
         xs_inv_loc,
         shiftf_loc,     # (N/D,) block
-        shiftb_loc,
         W_loc,          # (D, n2/D) step-3 twiddles
-        W_inv_loc,
     ):
         x_loc = x_loc[0]
         zh_loc = zh_loc[0]
@@ -193,10 +200,12 @@ def make_sharded_prove_step(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
         trace_lde = ntt_dist.coset_fft_local(that_loc, shiftf_loc, W_loc, plan)
 
         # ── constraint + quotient (all local in cyclic layout) ────────────
-        t_rolls = [jnp.roll(trace_lde, -k * (B // D)) for k in range(air.num_shifts)]
+        t_rolls = [
+            roll_cyclic_local(trace_lde, k * B, D)
+            for k in range(air.num_shifts)
+        ]
         c_evals = air.constraint_lde(t_rolls, x_loc, g, n)
         q_evals = bb.mont_mul(c_evals, zh_loc)
-        q_coeffs_loc = ntt_dist.coset_ifft_local(q_evals, shiftb_loc, W_inv_loc, plan)
 
         # ── commitments ───────────────────────────────────────────────────
         trace_root = _commit_local(trace_lde, trace_salts, D)
@@ -255,7 +264,6 @@ def make_sharded_prove_step(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
         return dict(
             trace_root=trace_root,
             quot_root=quot_root,
-            q_coeffs_loc=q_coeffs_loc,
             trace_lde=trace_lde[None],
             fri_roots=jnp.stack(roots),
             final_layer=final_layer,
@@ -272,12 +280,11 @@ def make_sharded_prove_step(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
         local_fn,
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, cyc, cyc, cyc, fri_salt_specs,
-                  cyc, cyc, cyc, blk, blk,
-                  Pspec(None, AXIS), Pspec(None, AXIS)),
+                  cyc, cyc, cyc, blk,
+                  Pspec(None, AXIS)),
         out_specs=dict(
             trace_root=rep,
             quot_root=rep,
-            q_coeffs_loc=blk,
             trace_lde=cyc,
             fri_roots=rep,
             final_layer=rep,
@@ -312,9 +319,7 @@ def make_sharded_prove_step(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG):
             jnp.asarray(zh_inv_tile),
             jnp.asarray(xs_inv0),
             jnp.asarray(shift_fwd),
-            jnp.asarray(shift_bwd),
             jnp.asarray(plan["W"]),
-            jnp.asarray(plan["W_inv"]),
         )
 
     return mesh, fn, make_example_args

@@ -23,13 +23,17 @@ same salts (threefry is backend-deterministic), same transcript, same tree
 structure, same openings. Distribution is an implementation detail of the
 prover, invisible in the proof.
 
-Layout invariants (see parallel/mesh.py): codewords live cyclic so trace
-rolls (D | blowup) and FRI folds are shard-local while D | half; coefficient
-vectors live in blocks; tree leaves are hashed cyclic then all-to-all'd to
-block layout so sub-trees are shard-local. FRI layers smaller than the mesh
-(D does not divide the size) convert once to replicated natural order — at
-that point a layer has < 2D elements, so the tail is noise — removing the
-round-1 `D | final_layer_size` precondition.
+Layout invariants (see parallel/mesh.py): codewords live cyclic so FRI
+folds are shard-local while D | half, and trace rolls are local when
+D | blowup (one boundary `ppermute` otherwise — `mesh.roll_cyclic_local`,
+round 4); coefficient vectors live in blocks; tree leaves are hashed cyclic
+then all-to-all'd to block layout so sub-trees are shard-local. FRI layers
+smaller than the mesh (D does not divide the size) convert once to
+replicated natural order — at that point a layer has < 2D elements, so the
+tail is noise — removing the round-1 `D | final_layer_size` precondition.
+Since round 4 there is NO divisibility precondition beyond D | lde_size:
+meshes wider than the blowup and LDEs smaller than D^2 both work with the
+DEFAULT protocol config.
 """
 
 from __future__ import annotations
@@ -56,7 +60,7 @@ from ..proof import MerkleOpening, QueryProof, StarkProof
 from ..trace import ExecutionTrace
 from ..transcript import Transcript, derive_z, derive_z_ext
 from . import ntt_dist
-from .mesh import AXIS, make_mesh, to_cyclic_np
+from .mesh import AXIS, make_mesh, roll_cyclic_local, to_cyclic_np
 from .prover_dist import _cyclic_to_block_local, _mont
 
 _U32 = jnp.uint32
@@ -97,8 +101,11 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
     config, AIR). `air` must be a long-lived (stateless) instance — the
     cache is keyed on it."""
     N = n * cfg.blowup
-    assert N % (D * D) == 0, "need D^2 | lde_size for the four-step layout"
-    assert cfg.blowup % D == 0, "need D | blowup so trace rolls stay local"
+    assert N % D == 0, "mesh width must divide the LDE size"
+    # No other layout preconditions since round 4 (was: D^2 | lde_size and
+    # D | blowup): cross-shard trace rolls are one boundary ppermute
+    # (mesh.roll_cyclic_local) and the four-step NTT replicates tiny
+    # transforms (ntt_dist `small` plan).
     m_deg = cfg.mask_degree
     L = n + m_deg
     final_size = cfg.final_layer_size(n)
@@ -138,6 +145,10 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
     rep = Pspec()
     rep_sh = NamedSharding(mesh, rep)
 
+    def _roll(v, s: int, axis: int = 0):
+        """Local slice of the global trace roll by s*blowup positions."""
+        return roll_cyclic_local(v, s * B, D, axis=axis)
+
     def _commit_with_levels(values_loc, salts_loc, mode="base"):
         """Cyclic values -> (lo_levels..., top_levels...) block/replicated."""
         digests = _leaf_digests(values_loc, salts_loc, mode, hk)
@@ -153,9 +164,15 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
         natural = jnp.swapaxes(gathered, 0, 1).reshape(D * m, 8)
         return [], _local_levels(natural, hk)
 
-    n_lo = (mloc).bit_length()  # levels in a local subtree incl. leaves
-    lo_specs = [blk] * n_lo
-    top_specs = [rep] * (D.bit_length() - 1)
+    if mloc % D == 0 and mloc >= D:
+        # big-layer commit shape: block-sharded local subtrees + tiny
+        # replicated top (the path _commit_with_levels takes at size N)
+        lo_specs = [blk] * mloc.bit_length()
+        top_specs = [rep] * (D.bit_length() - 1)
+    else:
+        # N < D^2: the whole tree is built replicated
+        lo_specs = []
+        top_specs = [rep] * N.bit_length()
 
     # ── interpolate + mask + LDE for one column (shared by both paths) ─────
     def _column_lde(trace_col, r_mask, shiftf_loc, W_loc):
@@ -181,7 +198,7 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
             _that_loc, trace_lde = _column_lde(trace_col, r_mask,
                                                shiftf_loc, W_loc)
             t_rolls = [
-                jnp.roll(trace_lde, -s * (B // D)) for s in range(ns)
+                _roll(trace_lde, s) for s in range(ns)
             ]
             c_evals = air.constraint_lde(t_rolls, x_loc, g, n)
             q_evals = bb.mont_mul(c_evals, zh_loc)
@@ -237,7 +254,7 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
             quot_salts = quot_salts[0]
             x_loc, zh_loc = x_loc[0], zh_loc[0]
             t_views = [
-                jnp.roll(lde_k, -s * (B // D), axis=1) for s in range(ns)
+                _roll(lde_k, s, axis=1) for s in range(ns)
             ]
             if k == 1:
                 t_views = [v[0] for v in t_views]
@@ -298,9 +315,9 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
                 parts = jnp.stack([
                     bb.sum_mod(extf.mul_base(w, trace_lde), axis=0),
                     bb.sum_mod(extf.mul_base(
-                        w, jnp.roll(trace_lde, -(B // D))), axis=0),
+                        w, _roll(trace_lde, 1)), axis=0),
                     bb.sum_mod(extf.mul_base(
-                        w, jnp.roll(trace_lde, -2 * (B // D))), axis=0),
+                        w, _roll(trace_lde, 2)), axis=0),
                     bb.sum_mod(extf.mul_base(w, q_evals), axis=0),
                 ])  # (4, 4)
                 allp = jax.lax.all_gather(parts, AXIS, axis=0)
@@ -315,8 +332,8 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
                 w = bb.mul(x_loc, inv_xz)
                 parts = jnp.stack([
                     bb.sum_mod(bb.mul(trace_lde, w)),
-                    bb.sum_mod(bb.mul(jnp.roll(trace_lde, -(B // D)), w)),
-                    bb.sum_mod(bb.mul(jnp.roll(trace_lde, -2 * (B // D)), w)),
+                    bb.sum_mod(bb.mul(_roll(trace_lde, 1), w)),
+                    bb.sum_mod(bb.mul(_roll(trace_lde, 2), w)),
                     bb.sum_mod(bb.mul(q_evals, w)),
                 ])  # (4,)
                 allp = jax.lax.all_gather(parts, AXIS, axis=0)  # (D, 4)
@@ -331,7 +348,7 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
                 inv_xz, w, pref = _bary_ext_setup(x_loc[0], z4)
                 rows = []
                 for s in range(ns):
-                    rolled = jnp.roll(lde_k, -s * (B // D), axis=1)
+                    rolled = _roll(lde_k, s, axis=1)
                     for c in range(k):
                         rows.append(bb.sum_mod(
                             extf.mul_base(w, rolled[c]), axis=0))
@@ -350,7 +367,7 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
                 w = bb.mul(x_loc, inv_xz)
                 rows = []
                 for s in range(ns):
-                    rolled = jnp.roll(lde_k, -s * (B // D), axis=1)
+                    rolled = _roll(lde_k, s, axis=1)
                     for c in range(k):
                         rows.append(bb.sum_mod(bb.mul(rolled[c], w)))
                 rows.append(bb.sum_mod(bb.mul(q_evals, w)))
@@ -370,8 +387,8 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
     def _deep_num_base(trace_lde, q_evals, oodv):
         """Base numerator sum for the reference shape (3 shifts, 1 col)."""
         num = bb.sub(q_evals, oodv[3])
-        num = bb.add(num, bb.sub(jnp.roll(trace_lde, -2 * (B // D)), oodv[2]))
-        num = bb.add(num, bb.sub(jnp.roll(trace_lde, -(B // D)), oodv[1]))
+        num = bb.add(num, bb.sub(_roll(trace_lde, 2), oodv[2]))
+        num = bb.add(num, bb.sub(_roll(trace_lde, 1), oodv[1]))
         return bb.add(num, bb.sub(trace_lde, oodv[0]))
 
     if not multi and not ext:
@@ -383,8 +400,8 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
         def deep_local(trace_lde, q_evals, oodv, inv_xz):
             trace_lde, q_evals = trace_lde[0], q_evals[0]
             base_sum = bb.add(
-                bb.add(q_evals, jnp.roll(trace_lde, -2 * (B // D))),
-                bb.add(jnp.roll(trace_lde, -(B // D)), trace_lde),
+                bb.add(q_evals, _roll(trace_lde, 2)),
+                bb.add(_roll(trace_lde, 1), trace_lde),
             )
             ood_sum = bb.sum_mod(oodv, axis=0)  # (4,)
             zero = jnp.zeros_like(base_sum)
@@ -400,7 +417,7 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
             q_evals = q_evals[0]
             num = bb.sub(q_evals, oodv[ns * k])
             for s in range(ns):
-                rolled = jnp.roll(lde_k, -s * (B // D), axis=1)
+                rolled = _roll(lde_k, s, axis=1)
                 for c in range(k):
                     num = bb.add(num, bb.sub(rolled[c], oodv[s * k + c]))
             return bb.mul(num, inv_xz[0])[None]
@@ -410,7 +427,7 @@ def _phases(n: int, D: int, cfg: StarkConfig = DEFAULT_CONFIG,
             q_evals = q_evals[0]
             base_sum = q_evals
             for s in range(ns):
-                rolled = jnp.roll(lde_k, -s * (B // D), axis=1)
+                rolled = _roll(lde_k, s, axis=1)
                 for c in range(k):
                     base_sum = bb.add(base_sum, rolled[c])
             ood_sum = bb.sum_mod(oodv, axis=0)  # (4,)
@@ -613,12 +630,24 @@ class DistributedStarkProver:
     in every protocol mode (base / ext / multi-column / multi-constraint)."""
 
     def __init__(self, trace: ExecutionTrace, n_devices: int,
-                 air=None, config: StarkConfig = DEFAULT_CONFIG, seed=None):
+                 air=None, config: StarkConfig = DEFAULT_CONFIG, seed=None,
+                 phase_timeout_s: float | None = None):
         self.trace = trace
         self.D = n_devices
         self.air = air or _DEFAULT_AIR
         self.config = config
         self.rng = np.random.default_rng(seed)
+        # Mid-run failure detection (SURVEY §5): bound every transcript
+        # round trip so a peer dying inside a collective surfaces as a
+        # prompt, attributed termination instead of an indefinite hang.
+        # Size it to the slowest legitimate phase INCLUDING first-call
+        # compiles, or warm up with one proof first (multihost.PhaseWatchdog).
+        self.phase_timeout_s = phase_timeout_s
+        self._wd = None
+
+    def _ckpt(self, phase: str) -> None:
+        if self._wd is not None:
+            self._wd.checkpoint(phase)
 
     def _salts_np(self, count: int) -> np.ndarray:
         """Identical draw to StarkProver._salts (threefry is deterministic
@@ -656,6 +685,7 @@ class DistributedStarkProver:
         tree0 = _DistTree(lv["lo"], lv["top"], d_evals, salts0, mesh,
                           kind=cfg.hash)
         root0 = tree0.root()
+        self._ckpt("fri:deep-commit")
         transcript.absorb_commitment(root0)
         fri_commitments.append(root0)
         fri_trees.append(tree0)
@@ -707,6 +737,7 @@ class DistributedStarkProver:
                 tree = _DistTree(lv["lo"], lv["top"], current, salts,
                                  mesh, kind=cfg.hash)
             root = tree.root()
+            self._ckpt(f"fri:layer-{size}")
             transcript.absorb_commitment(root)
             fri_commitments.append(root)
             fri_trees.append(tree)
@@ -727,6 +758,18 @@ class DistributedStarkProver:
         return fri_sizes, fri_trees, fri_commitments, fri_final_layer
 
     def generate_proof(self) -> StarkProof:
+        if self.phase_timeout_s is None:
+            return self._generate_proof_inner()
+        from .multihost import PhaseWatchdog
+
+        self._wd = PhaseWatchdog(self.phase_timeout_s).start()
+        try:
+            return self._generate_proof_inner()
+        finally:
+            self._wd.stop()
+            self._wd = None
+
+    def _generate_proof_inner(self) -> StarkProof:
         cfg = self.config
         D = self.D
         n = self.trace.num_rows
@@ -800,6 +843,7 @@ class DistributedStarkProver:
                                   kind=cfg.hash)
             quotient_root = quot_tree.root()
             transcript.absorb_commitment(quotient_root)
+            self._ckpt("commit")
             trace_lde = out1["trace_lde"]
             q_evals = out2["q_evals"]
         else:
@@ -817,6 +861,7 @@ class DistributedStarkProver:
             quotient_root = quot_tree.root()
             transcript.absorb_commitment(trace_root)
             transcript.absorb_commitment(quotient_root)
+            self._ckpt("commit")
             trace_lde = out["trace_lde"]
             q_evals = out["q_evals"]
             alphas = ()
@@ -945,6 +990,7 @@ class DistributedStarkProver:
                                          len(tree.levels) - 1, tree.kind)
             return vals, salts, proofs
 
+        self._ckpt("queries:start")
         tr_vals, tr_salts, tr_proofs = openings(trace_tree, trace_idx)
         q_vals, q_salts, q_proofs = openings(quot_tree, quot_idx)
         d_vals, d_salts, d_proofs = openings(fri_trees[0], deep_idx)
@@ -952,6 +998,7 @@ class DistributedStarkProver:
             openings(fri_trees[li], fri_idx[li - 1])
             for li in range(1, num_folds)
         ]
+        self._ckpt("queries:done")
 
         def mk_open(indices, vals, salts, proofs, j):
             salt = (

@@ -81,15 +81,15 @@ def make_commit_core(n: int, cfg: StarkConfig = DEFAULT_CONFIG):
         t_rolls = [jnp.roll(trace_lde, -k * B) for k in range(air.num_shifts)]
         c_evals = air.constraint_lde(t_rolls, x_dev, g, n)
         q_evals = bb.mont_mul(c_evals, zh_inv_tile)
-        q_coeffs = shifted.ifft(q_evals)
         quot_leaves = sha.hash_salted_leaves(q_evals, quot_salts)
         quot_levels = _levels_jit(quot_leaves)
 
+        # (no quotient IFFT since round 2: barycentric OOD evaluation reads
+        # everything off the eval vectors, so q_coeffs has no consumer)
         return dict(
             that=that,
             trace_lde=trace_lde,
             q_evals=q_evals,
-            q_coeffs=q_coeffs,
             trace_levels=trace_levels,
             quot_levels=quot_levels,
             trace_root=trace_levels[-1][0],
