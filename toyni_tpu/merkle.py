@@ -132,23 +132,28 @@ class DeviceTree:
     PERF.md "SHA-256 / Merkle".)"""
 
     def __init__(self, levels: list, has_leaf_level: bool = True,
-                 kind: str = "sha256"):
+                 kind: str = "sha256", pruned: int | None = None):
         self.levels = levels
-        # Huge trees drop the stored leaf-digest level (1 GB at 2^25 leaves);
-        # query-time sibling leaf digests are recomputed from value + salt.
-        self.has_leaf_level = has_leaf_level
+        # Huge trees drop the bottom `pruned` digest levels (level 0 alone
+        # is 1 GB at 2^25 leaves, 4.3 GB at the 2^27 protocol ceiling);
+        # query-time sibling digests are recomputed from values + salts —
+        # a 2^pruned-leaf block rehash per opened index.
+        self.pruned = (0 if has_leaf_level else 1) if pruned is None else pruned
         self.kind = kind
         self._root = None
 
     @property
+    def has_leaf_level(self) -> bool:
+        return self.pruned == 0
+
+    @property
     def num_leaves(self) -> int:
-        base = self.levels[0].shape[0]
-        return base if self.has_leaf_level else 2 * base
+        return self.levels[0].shape[0] << self.pruned
 
     @property
     def depth(self) -> int:
         """Number of path elements in an opening."""
-        return len(self.levels) - 1 + (0 if self.has_leaf_level else 1)
+        return len(self.levels) - 1 + self.pruned
 
     def root(self) -> bytes:
         if self._root is None:
@@ -160,42 +165,72 @@ class DeviceTree:
 
 # trees at or above this leaf count drop the stored leaf level
 LEAFLESS_MIN = 1 << 22
+# trees at or above this leaf count drop the bottom PRUNE_DEPTH levels
+# (the protocol-ceiling memory regime: a FULL level set at LDE 2^27 is
+# ~4.3 GB per tree and a proof carries ~5 big trees — more than a chip's
+# HBM; at depth 7 the stored top is 1/128th of that and each opened path
+# costs one 128-leaf block rehash in the query gather)
+PRUNE_MIN = 1 << 26
+PRUNE_DEPTH = 7
+
+
+def prune_levels(n_leaves: int, salted: bool) -> int:
+    """How many bottom digest levels a built tree drops at this size.
+    Unsalted trees (the tiny final FRI layer) always keep everything."""
+    if not salted or n_leaves < LEAFLESS_MIN:
+        return 0
+    if n_leaves < PRUNE_MIN:
+        return 1
+    return PRUNE_DEPTH
 
 
 @functools.lru_cache(maxsize=64)
 def _tree_builder(n_leaves: int, salted: bool, ext: bool = False,
-                  kind: str = "sha256"):
+                  kind: str = "sha256", saltless: bool = False):
     """One jitted program per (leaf count, salted, ext, hash kind): leaf
     hashing + every level, a SINGLE device dispatch per tree build. Dispatch
     count is the scarce resource on a remote-attached device (~25 ms per
     round trip on this deployment's tunnel); compiles are amortized by the
-    persistent compilation cache."""
+    persistent compilation cache.
+
+    `saltless`: the salts argument is a (2,) threefry key and the whole
+    (n, 4) salt layer is generated IN-GRAPH (ops/salts.py) — an XLA
+    temporary freed after leaf hashing, never stored in HBM."""
     import jax
 
     h = _hash_backend(kind)
-    # only salted trees drop leaves (unsalted trees in this protocol are the
-    # tiny final FRI layer, and the unsalted gather path assumes level 0)
-    keep_leaves = n_leaves < LEAFLESS_MIN or not salted
+    pr = prune_levels(n_leaves, salted)
     leaf_salted = h.hash_salted_leaves_ext if ext else h.hash_salted_leaves
     leaf_plain = h.hash_unsalted_leaves_ext if ext else h.hash_unsalted_leaves
     if salted:
+        from .ops import salts as salts_mod
+
+        field = kind != "sha256"
+
         def f(values, salts_dev):
+            if saltless:
+                salts_dev = salts_mod.salts_full(salts_dev, n_leaves, field)
             lv = _device_levels(leaf_salted(values, salts_dev), kind)
-            return lv if keep_leaves else lv[1:]
+            return lv[pr:] if pr else lv
     else:
         def f(values):
             lv = _device_levels(leaf_plain(values), kind)
-            return lv if keep_leaves else lv[1:]
+            return lv[pr:] if pr else lv
     return jax.jit(f)
 
 
 def build_salted_device_tree(values: jnp.ndarray, salts, ext: bool = False,
                              kind: str = "sha256") -> DeviceTree:
-    fn = _tree_builder(values.shape[0], True, ext, kind)
+    """`salts` is either the (n, 4) salt-word array or — the huge-layer
+    memory mode — a (2,) threefry key from which the layer's salts are
+    generated in-graph (ops/salts.py)."""
+    salts = jnp.asarray(salts)
+    saltless = salts.ndim == 1
+    fn = _tree_builder(values.shape[0], True, ext, kind, saltless)
     return DeviceTree(
-        fn(values, jnp.asarray(salts)),
-        has_leaf_level=values.shape[0] < LEAFLESS_MIN,
+        fn(values, salts),
         kind=kind,
+        pruned=prune_levels(values.shape[0], True),
     )
 
 

@@ -77,6 +77,12 @@ def _xs_inv0_dev(N: int, shift: int, omega: int) -> jnp.ndarray:
 
 _DEFAULT_AIR = FibonacciAir()
 
+# Salted layers at or above this size are represented by their threefry KEY
+# alone (never materialized outside a device program): at the protocol
+# ceiling (LDE 2^27) stored salt arrays would cost ~2 GiB per salted layer,
+# ~10 GiB per proof — more than a v5e chip's HBM. See ops/salts.py.
+SALTLESS_MIN = 1 << 26
+
 
 def _wrap_counted(fns: dict) -> dict:
     """Wrap every jitted phase callable so each invocation bumps the
@@ -152,11 +158,25 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         x=shifted.elements(),
     )
 
-    # huge committed layers drop the stored leaf-digest level (1 GB/tree at
-    # LDE 2^25); query-time sibling digests are recomputed from value + salt
-    from .merkle import LEAFLESS_MIN
+    # Huge committed layers drop the stored bottom digest levels (merkle.py
+    # prune_levels: level 0 alone is 1 GB at LDE 2^25, 4.3 GB at the 2^27
+    # ceiling; at PRUNE_DEPTH the stored top is 1/128th) — query-time
+    # sibling digests are recomputed from values + salts. Salt layers at or
+    # above SALTLESS_MIN are never materialized outside a program at all:
+    # the prover passes a (2,) threefry KEY, commits generate the layer
+    # in-graph (an XLA temporary), and query gathers regenerate exactly the
+    # opened indices (ops/salts.py — bit-identical to the bulk draw).
+    from .merkle import prune_levels
+    from .ops import salts as salts_mod
 
-    keep_leaves = N < LEAFLESS_MIN
+    pruned_n = prune_levels(N, True)
+    field_salts = hash_kind != "sha256"
+
+    def _full_salts(s, count):
+        """(count, 4) salt words from either form of the salts argument."""
+        if s.ndim == 1:
+            return salts_mod.salts_full(s, count, field_salts)
+        return s
 
     def commit(trace_col, r_mask, trace_salts, quot_salts, tb):
         """Phases 1-2 (fibonacci.rs:110-154) as one program: interpolate,
@@ -176,18 +196,15 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         padded = jnp.pad(that, (0, N - L))
         trace_lde = apply_ntt(bb.mont_mul(padded, tb["shift_fwd"]), tb["fft"], N)
         trace_levels = _device_levels(
-            sha.hash_salted_leaves(trace_lde, trace_salts)
-        )
+            sha.hash_salted_leaves(trace_lde, _full_salts(trace_salts, N))
+        )[pruned_n:]
 
         t_rolls = [jnp.roll(trace_lde, -k * blowup) for k in range(air.num_shifts)]
         c_evals = air.constraint_lde(t_rolls, tb["x"], g, n)
         q_evals = bb.mont_mul(c_evals, tb["zh_tile"])
         quot_levels = _device_levels(
-            sha.hash_salted_leaves(q_evals, quot_salts)
-        )
-        if not keep_leaves:
-            trace_levels = trace_levels[1:]
-            quot_levels = quot_levels[1:]
+            sha.hash_salted_leaves(q_evals, _full_salts(quot_salts, N))
+        )[pruned_n:]
         return dict(
             trace_lde=trace_lde,
             q_evals=q_evals,
@@ -269,22 +286,70 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         paths = extract_paths(levels, idx)
         return vals, paths
 
-    def gather_salted(levels, values, salts, idx):
-        vals = jnp.take(values, idx)
-        paths = extract_paths(levels, idx)
-        return vals, paths, jnp.take(salts, idx, axis=0)
+    # ── pruned / saltless opening machinery (protocol-ceiling memory) ─────
+    # Huge salted trees store only levels >= prune_levels(size) (merkle.py)
+    # and may carry their salts as a (2,) threefry KEY instead of a (size,4)
+    # array (ops/salts.py). Both properties are recovered statically from
+    # ARGUMENT SHAPES at trace time — no flags to thread — so one gather
+    # program covers every (pruned, saltless) combination per tree size.
 
-    def gather_salted_leafless(levels, values, salts, idx):
-        """levels start at tree level 1 (leaf digests not stored); the level-0
-        sibling digest is recomputed from the sibling's value + salt."""
-        vals = jnp.take(values, idx)
-        sib = idx ^ 1
-        sib_digest = sha.hash_salted_leaves(
-            jnp.take(values, sib), jnp.take(salts, sib, axis=0)
-        )  # (Q, 8)
-        rest = extract_paths(levels, idx >> 1)  # (Q, depth-1, 8)
-        paths = jnp.concatenate([sib_digest[:, None, :], rest], axis=1)
-        return vals, paths, jnp.take(salts, idx, axis=0)
+    def _salt_slice(s, flat_idx):
+        """Salt words at the given leaf indices: array take, or in-graph
+        threefry regeneration when `s` is a (2,) key."""
+        if s.ndim == 1:
+            return salts_mod.salts_for_indices(s, flat_idx, field_salts)
+        return jnp.take(s, flat_idx, axis=0)
+
+    def _pruned_of(size: int, levels) -> int:
+        """Dropped bottom levels = full depth - stored depth (static)."""
+        return size.bit_length() - 1 - (len(levels) - 1)
+
+    def _bottom_paths(leaf_digests_at, idx, pruned: int):
+        """(Q, pruned, 8) sibling digests for the dropped bottom levels: one
+        2^pruned-leaf block rehash per opened index, folded upward with the
+        per-level sibling extracted along the way. `leaf_digests_at(flat)`
+        hashes the leaves at flat indices (mode-specific)."""
+        W = 1 << pruned
+        Q = idx.shape[0]
+        base = (idx >> pruned) << pruned
+        block = base[:, None] + jnp.arange(W, dtype=idx.dtype)    # (Q, W)
+        cur = leaf_digests_at(block.reshape(-1)).reshape(Q, W, 8)
+        loc = idx & (W - 1)
+        sibs = []
+        for l in range(pruned):
+            sib_loc = (loc >> l) ^ 1                              # (Q,)
+            sibs.append(jnp.take_along_axis(
+                cur, sib_loc[:, None, None], axis=1
+            )[:, 0])
+            if l + 1 < pruned:
+                half = cur.shape[1] // 2
+                cur = sha.hash_nodes(
+                    cur[:, 0::2].reshape(-1, 8), cur[:, 1::2].reshape(-1, 8)
+                ).reshape(Q, half, 8)
+        return jnp.stack(sibs, axis=1)                            # (Q, pr, 8)
+
+    def _gather_salted_any(levels, size, s, idx, leaf_digests_at, vals):
+        """Shared body: opened values already taken by the caller (`vals`);
+        returns (vals, paths, opened_salts) handling pruning + key salts."""
+        pruned = _pruned_of(size, levels)
+        opened_salts = _salt_slice(s, idx)
+        if pruned == 0:
+            return vals, extract_paths(levels, idx), opened_salts
+        bottom = _bottom_paths(leaf_digests_at, idx, pruned)
+        rest = extract_paths(levels, idx >> pruned)
+        paths = jnp.concatenate([bottom, rest], axis=1)
+        return vals, paths, opened_salts
+
+    def gather_salted(levels, values, s, idx):
+        def leaf_digests_at(flat):
+            return sha.hash_salted_leaves(
+                jnp.take(values, flat), _salt_slice(s, flat)
+            )
+
+        return _gather_salted_any(
+            levels, values.shape[0], s, idx, leaf_digests_at,
+            jnp.take(values, idx),
+        )
 
     fns = dict(
         commit=jax.jit(commit),
@@ -293,7 +358,6 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         fold=jax.jit(fold),
         gather=jax.jit(gather),
         gather_salted=jax.jit(gather_salted),
-        gather_salted_leafless=jax.jit(gather_salted_leafless),
         x=tables["x"],
         tables=tables,
     )
@@ -322,7 +386,6 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
             dict(size=N, nidx=2 * Q, ext=ext),
         ] + [dict(size=s, nidx=2 * Q, ext=ext) for s in _fri_sizes]
         for t in gspec:
-            t["leafless"] = t["size"] >= LEAFLESS_MIN
             t["depth"] = t["size"].bit_length() - 1
 
         def gather_all(trees, values, salts, idxs):
@@ -330,23 +393,27 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
             for t, levels, vals, slt, idx in zip(gspec, trees, values,
                                                  salts, idxs):
                 v = jnp.take(vals, idx, axis=0)
-                if t["leafless"]:
-                    sib = idx ^ 1
-                    sv = jnp.take(vals, sib, axis=0)
-                    ss = jnp.take(slt, sib, axis=0)
-                    sib_digest = (
-                        sha.hash_salted_leaves_ext(sv, ss) if t["ext"]
-                        else sha.hash_salted_leaves(sv, ss)
+                pruned = _pruned_of(t["size"], levels)
+                leaf_fn = (
+                    sha.hash_salted_leaves_ext if t["ext"]
+                    else sha.hash_salted_leaves
+                )
+
+                def leaf_digests_at(flat, vals=vals, slt=slt,
+                                    leaf_fn=leaf_fn):
+                    return leaf_fn(
+                        jnp.take(vals, flat, axis=0), _salt_slice(slt, flat)
                     )
-                    rest = extract_paths(levels, idx >> 1)
-                    paths = jnp.concatenate(
-                        [sib_digest[:, None, :], rest], axis=1
-                    )
+
+                if pruned:
+                    bottom = _bottom_paths(leaf_digests_at, idx, pruned)
+                    rest = extract_paths(levels, idx >> pruned)
+                    paths = jnp.concatenate([bottom, rest], axis=1)
                 else:
                     paths = extract_paths(levels, idx)
                 v_out.append(v.reshape(-1))
                 p_out.append(paths.reshape(-1))
-                s_out.append(jnp.take(slt, idx, axis=0).reshape(-1))
+                s_out.append(_salt_slice(slt, idx).reshape(-1))
             return (jnp.concatenate(v_out), jnp.concatenate(p_out),
                     jnp.concatenate(s_out))
 
@@ -400,10 +467,10 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
                     apply_ntt(bb.mont_mul(padded, tb["shift_fwd"]), tb["fft"], N)
                 )
             lde_k = jnp.stack(ldes)
-            leaf = sha.hash_salted_leaves_multi(lde_k, trace_salts)
-            levels = _device_levels(leaf)
-            if not keep_leaves:
-                levels = levels[1:]
+            leaf = sha.hash_salted_leaves_multi(
+                lde_k, _full_salts(trace_salts, N)
+            )
+            levels = _device_levels(leaf)[pruned_n:]
             return dict(trace_lde=lde_k, trace_levels=levels)
 
         def commit_quot(trace_lde, quot_salts, alphas, tb):
@@ -418,10 +485,8 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
                 c_evals = air.constraint_lde(t_views, tb["x"], g, n)
             q_evals = bb.mont_mul(c_evals, tb["zh_tile"])
             quot_levels = _device_levels(
-                sha.hash_salted_leaves(q_evals, quot_salts)
-            )
-            if not keep_leaves:
-                quot_levels = quot_levels[1:]
+                sha.hash_salted_leaves(q_evals, _full_salts(quot_salts, N))
+            )[pruned_n:]
             return dict(q_evals=q_evals, quot_levels=quot_levels)
 
         def ood_multi(trace_lde, q_evals, x, z):
@@ -452,20 +517,18 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
                     num = bb.add(num, bb.sub(rolled[c], ood[s * k + c]))
             return bb.mul(num, inv_xz)
 
-        def gather_salted_multi(levels, values, salts, idx):
-            """values (k, N): open the k-value row bundle at each index."""
-            vals = jnp.take(values, idx, axis=1).T  # (Q, k)
-            return vals, extract_paths(levels, idx), jnp.take(salts, idx, axis=0)
+        def gather_salted_multi(levels, values, s, idx):
+            """values (k, N): open the k-value row bundle at each index
+            (pruned trees and key-form salts handled shape-statically)."""
+            def leaf_digests_at(flat):
+                return sha.hash_salted_leaves_multi(
+                    jnp.take(values, flat, axis=1), _salt_slice(s, flat)
+                )
 
-        def gather_salted_leafless_multi(levels, values, salts, idx):
-            vals = jnp.take(values, idx, axis=1).T
-            sib = idx ^ 1
-            sib_digest = sha.hash_salted_leaves_multi(
-                jnp.take(values, sib, axis=1), jnp.take(salts, sib, axis=0)
+            return _gather_salted_any(
+                levels, values.shape[1], s, idx, leaf_digests_at,
+                jnp.take(values, idx, axis=1).T,
             )
-            rest = extract_paths(levels, idx >> 1)
-            paths = jnp.concatenate([sib_digest[:, None, :], rest], axis=1)
-            return vals, paths, jnp.take(salts, idx, axis=0)
 
         fns.update(
             commit_trace=jax.jit(commit_trace),
@@ -473,7 +536,6 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
             ood_multi=jax.jit(ood_multi),
             deep_multi=jax.jit(deep_multi),
             gather_salted_multi=jax.jit(gather_salted_multi),
-            gather_salted_leafless_multi=jax.jit(gather_salted_leafless_multi),
         )
 
         if ext:
@@ -559,19 +621,16 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
     def gather_ext(levels, values, idx):
         return jnp.take(values, idx, axis=0), extract_paths(levels, idx)
 
-    def gather_salted_ext(levels, values, salts, idx):
-        vals = jnp.take(values, idx, axis=0)
-        return vals, extract_paths(levels, idx), jnp.take(salts, idx, axis=0)
+    def gather_salted_ext(levels, values, s, idx):
+        def leaf_digests_at(flat):
+            return sha.hash_salted_leaves_ext(
+                jnp.take(values, flat, axis=0), _salt_slice(s, flat)
+            )
 
-    def gather_salted_leafless_ext(levels, values, salts, idx):
-        vals = jnp.take(values, idx, axis=0)
-        sib = idx ^ 1
-        sib_digest = sha.hash_salted_leaves_ext(
-            jnp.take(values, sib, axis=0), jnp.take(salts, sib, axis=0)
+        return _gather_salted_any(
+            levels, values.shape[0], s, idx, leaf_digests_at,
+            jnp.take(values, idx, axis=0),
         )
-        rest = extract_paths(levels, idx >> 1)
-        paths = jnp.concatenate([sib_digest[:, None, :], rest], axis=1)
-        return vals, paths, jnp.take(salts, idx, axis=0)
 
     fns.update(
         ood_ext=jax.jit(ood4_ext),
@@ -579,7 +638,6 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
         fold_ext=jax.jit(fold_ext),
         gather_ext=jax.jit(gather_ext),
         gather_salted_ext=jax.jit(gather_salted_ext),
-        gather_salted_leafless_ext=jax.jit(gather_salted_leafless_ext),
     )
     return _wrap_counted(fns)
 
@@ -608,16 +666,38 @@ class StarkProver:
         <=3*num_queries opened salts ever reach the host (query-time gather);
         their canonical byte form is the BE bytes of the 4 words.
 
+        Values are the in-repo threefry clone's counter stream
+        (ops/salts.py) — bit-identical to rounds 1-3's
+        `jax.random.bits(PRNGKey(seed), (n, 4))` draw (tests pin the
+        equality), so proof bytes are unchanged AND independent of jax's
+        default PRNG configuration.
+
         Poseidon2 mode: salt words are FIELD ELEMENTS (the leaf sponge
         absorbs them as BabyBear lanes) — mask to 31 bits and conditionally
         subtract p. ~30.97 bits of entropy per word, ~124 per salt — the
         hiding property needs unpredictability, not exact uniformity."""
-        key = jax.random.PRNGKey(int(self.rng.integers(0, 2**63)))
-        bits = jax.random.bits(key, (n, 4), dtype=jnp.uint32)
-        if self.config.hash != "sha256":
-            bits = bits & jnp.uint32(0x7FFFFFFF)
-            bits = jnp.where(bits >= jnp.uint32(P), bits - jnp.uint32(P), bits)
-        return bits
+        from .ops import salts as salts_mod
+
+        key = salts_mod.key_words(int(self.rng.integers(0, 2**63)))
+        return salts_mod.salts_full(
+            jnp.asarray(key), n, self.config.hash != "sha256"
+        )
+
+    def _layer_salts(self, size: int):
+        """Salt representation for one committed layer: the (size, 4) word
+        array below SALTLESS_MIN, else just the (2,) threefry key — the
+        layer's salts are then generated in-graph at commit time and
+        REGENERATED per opened index at query time (ops/salts.py), never
+        stored in HBM. Same rng consumption either way, so the proof bytes
+        do not depend on which representation a size uses."""
+        from .ops import salts as salts_mod
+
+        key = salts_mod.key_words(int(self.rng.integers(0, 2**63)))
+        if size >= SALTLESS_MIN:
+            return jnp.asarray(key)
+        return salts_mod.salts_full(
+            jnp.asarray(key), size, self.config.hash != "sha256"
+        )
 
     def _fri_phase(self, fns, d_evals, transcript, final_size, N, ext):
         """FRI folding with Merkle commits (fibonacci.rs:200-247); shared by
@@ -631,7 +711,7 @@ class StarkProver:
         fri_commitments: list = []
 
         kind = self.config.hash
-        salts0 = self._salts(N)
+        salts0 = self._layer_salts(N)
         profiling.incr("dispatches")  # tree build is its own program
         tree0 = build_salted_device_tree(d_evals, salts0, ext=ext, kind=kind)
         root0 = tree0.root()
@@ -660,7 +740,7 @@ class StarkProver:
                 tree = build_unsalted_device_tree(current, ext=ext, kind=kind)
                 salts = None
             else:
-                salts = self._salts(current.shape[0])
+                salts = self._layer_salts(current.shape[0])
                 tree = build_salted_device_tree(current, salts, ext=ext,
                                                 kind=kind)
             root = tree.root()
@@ -708,16 +788,16 @@ class StarkProver:
             trace_cols = jnp.asarray(
                 np.stack(self.trace.columns).astype(np.uint32)
             )
-            trace_salts = self._salts(N)
-            quot_salts = self._salts(N)
+            trace_salts = self._layer_salts(N)
+            quot_salts = self._layer_salts(N)
             out1 = fns["commit_trace"](
                 trace_cols, r_masks, trace_salts, fns["tables"]
             )
             trace_lde = out1["trace_lde"]
-            from .merkle import LEAFLESS_MIN
+            from .merkle import prune_levels
 
-            keep = N < LEAFLESS_MIN
-            trace_tree = DeviceTree(out1["trace_levels"], has_leaf_level=keep,
+            pruned = prune_levels(N, True)
+            trace_tree = DeviceTree(out1["trace_levels"], pruned=pruned,
                                     kind=cfg.hash)
             trace_root = trace_tree.root()
 
@@ -736,7 +816,7 @@ class StarkProver:
                 jnp.asarray(np.array(alphas, np.uint32)), fns["tables"],
             )
             q_evals = out2["q_evals"]
-            quotient_tree = DeviceTree(out2["quot_levels"], has_leaf_level=keep,
+            quotient_tree = DeviceTree(out2["quot_levels"], pruned=pruned,
                                        kind=cfg.hash)
             quotient_root = quotient_tree.root()
         transcript.absorb_commitment(quotient_root)
@@ -841,30 +921,19 @@ class StarkProver:
             return fns[fn_name](tuple(tree.levels), values, salts, iarr)
 
         t_iarr = jnp.asarray(np.array(trace_idx, np.int32))
-        if trace_tree.has_leaf_level:
-            tr_pend = fns["gather_salted_multi"](
-                tuple(trace_tree.levels), trace_lde, trace_salts, t_iarr
-            )
-        else:
-            tr_pend = fns["gather_salted_leafless_multi"](
-                tuple(trace_tree.levels), trace_lde, trace_salts, t_iarr
-            )
-        q_name = (
-            "gather_salted" if quotient_tree.has_leaf_level
-            else "gather_salted_leafless"
+        # one unified gather per mode handles pruned trees and key-form
+        # salts shape-statically (see _phase_fns)
+        tr_pend = fns["gather_salted_multi"](
+            tuple(trace_tree.levels), trace_lde, trace_salts, t_iarr
         )
-        q_pend = gathered(q_name, quotient_tree, q_evals, quot_idx, quot_salts)
+        q_pend = gathered("gather_salted", quotient_tree, q_evals, quot_idx,
+                          quot_salts)
         sfx = "_ext" if ext else ""
-        d_name = (
-            "gather_salted" if fri_trees[0].has_leaf_level
-            else "gather_salted_leafless"
-        ) + sfx
-        d_pend = gathered(d_name, fri_trees[0], fri_layers[0], deep_idx,
-                          fri_salts[0])
+        d_pend = gathered("gather_salted" + sfx, fri_trees[0], fri_layers[0],
+                          deep_idx, fri_salts[0])
         f_pend = [
             gathered(
-                ("gather_salted" if fri_trees[li].has_leaf_level
-                 else "gather_salted_leafless") + sfx,
+                "gather_salted" + sfx,
                 fri_trees[li], fri_layers[li], fri_idx[li - 1], fri_salts[li],
             )
             for li in range(1, num_folds)
@@ -973,18 +1042,18 @@ class StarkProver:
             )
             trace_col = jnp.asarray(self.trace.columns[0].astype(np.uint32))
             assert domain.size == self.trace.num_rows
-            trace_salts = self._salts(N)
-            quot_salts = self._salts(N)
+            trace_salts = self._layer_salts(N)
+            quot_salts = self._layer_salts(N)
             out = fns["commit"](trace_col, r_mask, trace_salts, quot_salts, fns["tables"])
             trace_lde = out["trace_lde"]
             q_evals = out["q_evals"]
             x = fns["x"]
-            from .merkle import LEAFLESS_MIN
+            from .merkle import prune_levels
 
-            keep = N < LEAFLESS_MIN
-            trace_tree = DeviceTree(out["trace_levels"], has_leaf_level=keep,
+            pruned = prune_levels(N, True)
+            trace_tree = DeviceTree(out["trace_levels"], pruned=pruned,
                                     kind=cfg.hash)
-            quotient_tree = DeviceTree(out["quot_levels"], has_leaf_level=keep,
+            quotient_tree = DeviceTree(out["quot_levels"], pruned=pruned,
                                        kind=cfg.hash)
             trace_root = trace_tree.root()
             quotient_root = quotient_tree.root()
@@ -1087,11 +1156,7 @@ class StarkProver:
             """Enqueue the device gathers (no host sync)."""
             iarr = jnp.asarray(np.array(indices, np.int32))
             sfx = "_ext" if is_ext else ""
-            if salts is not None and not tree.has_leaf_level:
-                v, p, s = fns["gather_salted_leafless" + sfx](
-                    tuple(tree.levels), values, salts, iarr
-                )
-            elif salts is not None:
+            if salts is not None:
                 v, p, s = fns["gather_salted" + sfx](
                     tuple(tree.levels), values, salts, iarr
                 )
