@@ -11,17 +11,22 @@ reference publishes no numbers, so `vs_baseline` reports the speedup over
 this framework's own CPU execution of the identical computation (the
 reference's CPU-vs-accelerator comparison, src/ntt.rs:264-287, in spirit).
 
-`extra` carries the BASELINE.md end-to-end metrics: Fibonacci proofs/sec at
-trace 2^8 and 2^16 (full ZK pipeline, host-verified), plus an optional
-Poseidon2-commitment stage at 2^8 (the fastest measured configuration,
-~3.4 proofs/s on v5e), measured steady-state
-with the fused single-dispatch prover at both sizes: it wins outright at
-2^8 (0.42 vs 0.65 s/proof) and ties the phase prover at 2^16 (~1.1 s)
-while COLD-TRACING ~10x faster — the phase prover's unrolled-SHA tree
-programs cost a cold process ~840 s of Python tracing at 2^16 (PERF.md
-"tracing"), which is what timed this stage out in round 2. Stages respect
-a deadline so the driver's 1700 s budget is never exceeded — a stage that
-would not fit is skipped and its key reports null.
+`extra` carries the BASELINE.md end-to-end metrics. Mandatory stages:
+Fibonacci proofs/sec at trace 2^8 and 2^16 (full ZK pipeline,
+host-verified) with the fused single-dispatch prover — the measured
+per-size winner at both (PERF.md round-3 table), and ~10x cheaper to
+cold-trace than the phase prover (whose unrolled-SHA tree programs cost a
+cold process ~840 s of Python tracing at 2^16 — the round-2 stage
+timeout). Optional stages, run best-effort in priority order with the
+remaining budget: batched throughput (FusedBatchStarkProver, B=8, the
+highest-throughput configuration), trace 2^20 (the large-proof regime,
+phase prover), and the Poseidon2-commitment mode at 2^8 and 2^16 (both
+sides of the measured SHA/Poseidon2 crossover, PERF.md "Poseidon2").
+
+Stages respect a deadline so the driver's 1700 s budget is never
+exceeded. Metric contract: MANDATORY keys are always present (null +
+`<key>_error` on failure); OPTIONAL keys are present only when their
+stage ran to success — a skipped or failed optional stage leaves no key.
 """
 
 from __future__ import annotations
@@ -112,11 +117,20 @@ def _bench_proofs(device, rows: int, iters: int, prover: str = "fused"):
     from toyni_tpu.verifier import StarkVerifier
 
     cfg = StarkConfig()
-    if prover.startswith("fused"):
+    batch = 0
+    if prover.startswith("batch"):
+        from toyni_tpu.prover_fused import FusedBatchStarkProver
+
+        batch = int(prover[len("batch"):] or 8)
+    elif prover.startswith("fused"):
         from toyni_tpu.prover_fused import FusedStarkProver as prover_cls
 
         if prover == "fused_p2":
             cfg = StarkConfig(hash="poseidon2")
+    elif prover == "phase_p2":
+        from toyni_tpu.prover import StarkProver as prover_cls
+
+        cfg = StarkConfig(hash="poseidon2")
     else:
         from toyni_tpu.prover import StarkProver as prover_cls
 
@@ -130,6 +144,24 @@ def _bench_proofs(device, rows: int, iters: int, prover: str = "fused"):
         t = ExecutionTrace()
         t.insert_column(fibs)
         return t
+
+    if batch:
+        # one dispatch proves `batch` traces; s/proof is wall / (runs*batch)
+        bp = FusedBatchStarkProver(
+            [trace() for _ in range(batch)], seeds=list(range(1, 1 + batch))
+        )
+        proofs = bp.generate_proofs()
+        assert StarkVerifier(config=cfg).verify(proofs[0]), (
+            "bench proof rejected by verifier"
+        )
+        runs = max(1, iters)
+        t0 = time.perf_counter()
+        for r in range(runs):
+            FusedBatchStarkProver(
+                [trace() for _ in range(batch)],
+                seeds=list(range(100 + r * batch, 100 + (r + 1) * batch)),
+            ).generate_proofs()
+        return (time.perf_counter() - t0) / (runs * batch)
 
     first = prover_cls(trace(), config=cfg, seed=1).generate_proof()
     assert StarkVerifier(config=cfg).verify(first), (
@@ -191,24 +223,35 @@ def main() -> None:
 
     # end-to-end proofs/sec (BASELINE.md metrics): each stage runs in a
     # child process under a hard timeout sized to what the deadline allows.
-    # Both stages use the fused prover — measured stage total at 2^16 is
-    # ~9 min cold (vs the phase prover's ~840 s of tracing alone, the
-    # round-2 stage_timeout). The deadline guard below still protects the
-    # headline metric if a stage cannot fit.
+    # Two mandatory fused stages, then optional stages best-effort in
+    # priority order (batched throughput, the 2^20 large-proof regime, and
+    # both sides of the SHA/Poseidon2 crossover); the deadline guard
+    # protects the headline metric if a stage cannot fit. With a warm
+    # persistent compilation cache everything fits; cold, the optionals
+    # degrade gracefully (omitted keys — see the metric contract above).
     for key, rows, iters, budget, prover, optional in (
         ("proofs_per_sec_2e8", 1 << 8, 5, 420, "fused", False),
         ("proofs_per_sec_2e16", 1 << 16, 2, 1200, "fused", False),
-        # Poseidon2 commitment mode — the fastest measured configuration at
-        # small traces (0.28 s/proof on v5e); optional: silently skipped if
-        # the mandatory stages consumed the budget.
-        ("proofs_per_sec_2e8_p2", 1 << 8, 5, 300, "fused_p2", True),
+        # highest-throughput configuration: 8 proofs per dispatch
+        # (0.19 s/proof at 2^8 on v5e, PERF.md round-2 table)
+        ("proofs_per_sec_2e8_batched", 1 << 8, 2, 300, "batch8", True),
+        # the large-proof regime (item: ceiling visibility in the driver
+        # record; fused wins at every size since round 3)
+        ("proofs_per_sec_2e20", 1 << 20, 1, 420, "fused", True),
+        # Poseidon2 commitments: wins at 2^8 (0.28 s/proof), loses to SHA
+        # at 2^16 (0.79 vs 0.605) — both sides driver-visible
+        ("proofs_per_sec_2e8_p2", 1 << 8, 5, 240, "fused_p2", True),
+        ("proofs_per_sec_2e16_p2", 1 << 16, 2, 360, "fused_p2", True),
     ):
         budget = min(budget, _remaining() - 90)  # keep teardown headroom
         if budget < 120:
             if not optional:
                 extra[key] = None
+                extra[key + "_error"] = "budget_exhausted"
             continue
         spp, err = _proofs_subprocess(rows, iters, budget, prover)
+        if optional and spp is None:
+            continue  # optional stages leave no key unless they succeeded
         extra[key] = round(1.0 / spp, 3) if spp else None
         extra[key + "_prover"] = prover
         if err:
