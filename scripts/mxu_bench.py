@@ -56,10 +56,21 @@ def main():
               flush=True)
         return dt
 
-    xla_tabs = ntt_ops.ntt_tables(n, om)  # default (flag off)
+    # force the XLA path for the baseline row regardless of the MXU
+    # default/env (ntt_tables would otherwise hand back MXU tables and the
+    # row would just re-measure v1)
+    saved = ntt_ops._MXU_NTT
+    ntt_ops._MXU_NTT = 0
+    xla_tabs = ntt_ops.ntt_tables(n, om)
     t_xla = bench("xla-four-step", lambda v, t: ntt_ops.apply_ntt(v, t, n), xla_tabs)
+    ntt_ops._MXU_NTT = saved
     v1_tabs = ntt_mxu.mxu_ntt_tables(n, om)
     t_v1 = bench("mxu-v1", ntt_mxu.apply_mxu_ntt, v1_tabs)
+    # the ACTIVE env-selected accelerated path (TOYNI_MXU_NTT / _FUSE knobs
+    # — e.g. =3 benches the int8 balanced-digit tables here)
+    if ntt_ops._mxu_ntt_variant() not in (0, 1):
+        env_tabs = ntt_ops.ntt_tables(n, om)
+        bench("env-path", lambda v, t: ntt_ops.apply_ntt(v, t, n), env_tabs)
     t_v2 = None
     try:
         # v2's fused-digit-reversal final level only lowers for 2-level sizes

@@ -253,13 +253,16 @@ _MXU_MIN = 1 << 21
 
 def _mxu_ntt_variant() -> int:
     """Active MXU-NTT variant for this call: the env override if set, else
-    v1 on TPU targets (the measured-fastest path — 5.1 ms vs 6.3 XLA at
-    2^24, PERF.md) and off elsewhere (on CPU the Pallas kernels would run
-    in interpret mode, orders of magnitude slower than XLA)."""
+    the int8 balanced-digit path (v3) on TPU targets — the measured-fastest
+    form since round 4 (4.47 ms / 45.0 Gbf/s at 2^24 vs 5.2 bf16 v1 and
+    6.3 XLA: the 16 limb dots are ~40% of the kernel's time and the int8
+    systolic path runs them at 2x the bf16 rate; PERF.md round 4) — and
+    off elsewhere (on CPU the Pallas kernels would run in interpret mode,
+    orders of magnitude slower than XLA)."""
     v = _mxu_ntt_env()
     if v >= 0:
         return v
-    return 1 if _target_is_tpu() else 0
+    return 3 if _target_is_tpu() else 0
 
 
 def _mxu_auto() -> bool:
@@ -323,7 +326,7 @@ def _is_mxu_tabs(tabs) -> bool:
         isinstance(tabs, tuple)
         and len(tabs) > 0
         and isinstance(tabs[0], tuple)
-        and len(tabs[0]) == 2
+        and len(tabs[0]) in (2, 3)  # 3 = round-4 expanded-W entries
         and getattr(tabs[0][0], "ndim", 0) == 3
     )
 

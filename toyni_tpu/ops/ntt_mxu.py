@@ -325,11 +325,11 @@ def _dft_level(x2d, ml, w=None, *, fuse_w=False, interpret=False):
     )(*args)
 
 
-def _level_t_kernel(m: int, TB: int, fuse_w: bool):
+def _level_t_kernel(m: int, TB: int, fuse_w: bool, i8: bool = False):
     """Transposed-output variant: the (m, TB) result tile is written as
     (TB, m) — the level's global transpose happens inside the kernel, so
     the chain needs NO standalone XLA transpose passes between levels."""
-    inner = _level_kernel(m, TB, fuse_w)
+    inner = (_level_kernel_i8 if i8 else _level_kernel)(m, TB, fuse_w)
 
     def kernel(x_ref, ml_ref, *rest):
         o_ref = rest[-1]
@@ -361,7 +361,7 @@ def _dft_level_t(x2d, ml, w=None, *, fuse_w=False, interpret=False):
         )
         args.append(w)
     return pl.pallas_call(
-        _level_t_kernel(m, TB, fuse_w),
+        _level_t_kernel(m, TB, fuse_w, i8=ml.dtype == jnp.int8),
         out_shape=jax.ShapeDtypeStruct((C, m), _U32),
         grid=(C // TB,),
         in_specs=in_specs,
@@ -420,15 +420,43 @@ def _mxu_tables_np(n: int, omega: int):
     return tuple(out)
 
 
+# Expanded-W tables (W repeated across the accumulated batch so middle
+# levels can FUSE the twiddle multiply into the kernel) cost ~n u32 of HBM
+# per middle level; cap them to bench-scale sizes so protocol-ceiling
+# transforms (2^26+) don't spend a GB of HBM on tables.
+_W_EXPAND_MAX = 1 << 25
+
+
 @functools.lru_cache(maxsize=16)
 def mxu_ntt_tables(n: int, omega: int):
     """Device-resident level tables — pass INTO jitted programs as an
-    argument (PERF.md rule 2)."""
+    argument (PERF.md rule 2).
+
+    Each entry is (M_limbs bf16, W | None, W_expanded | None): W is the
+    (m1, m2) twiddle matrix (batched path + fallbacks), W_expanded repeats
+    each twiddle across the level's accumulated batch columns so the v1
+    chain can fuse the multiply into the level kernel (round 4: one fewer
+    full elementwise HBM pass per middle level)."""
+    base = _mxu_tables_np(n, omega)
+    out = []
+    batch = 1
     with jax.ensure_compile_time_eval():
-        return tuple(
-            (jnp.asarray(ml), None if W is None else jnp.asarray(W))
-            for (_, _, ml, W) in _mxu_tables_np(n, omega)
-        )
+        for (m1, m2, ml, W) in base:
+            if W is None:
+                out.append((jnp.asarray(ml), None, None))
+                break
+            if batch == 1 or not _fuse_mode():
+                w_exp = None  # level 0's W is already kernel-shaped
+            elif n <= _W_EXPAND_MAX:
+                exp = np.broadcast_to(
+                    W[:, :, None], (m1, m2, batch)
+                ).reshape(m1, m2 * batch)
+                w_exp = jnp.asarray(np.ascontiguousarray(exp))
+            else:
+                w_exp = None
+            out.append((jnp.asarray(ml), jnp.asarray(W), w_exp))
+            batch *= m1
+    return tuple(out)
 
 
 @functools.lru_cache(maxsize=16)
@@ -440,17 +468,28 @@ def mxu_ntt_tables_i8(n: int, omega: int):
     levels = _factor_levels(n)
     om = omega
     out = []
+    batch = 1
     with jax.ensure_compile_time_eval():
         for li, (m1, m2, _ml, W) in enumerate(base):
             if li == len(levels) - 1:
                 mat = _dft_matrix_np(m1, om)
             else:
                 mat = _dft_matrix_np(m1, pow(om, m2, P))
+            if (W is None or batch == 1 or n > _W_EXPAND_MAX
+                    or not _fuse_mode()):
+                w_exp = None
+            else:
+                exp = np.broadcast_to(
+                    W[:, :, None], (m1, m2, batch)
+                ).reshape(m1, m2 * batch)
+                w_exp = jnp.asarray(np.ascontiguousarray(exp))
             out.append((
                 jnp.asarray(_digits_i8_np(mat)),
                 None if W is None else jnp.asarray(W),
+                w_exp,
             ))
             om = pow(om, m1, P)
+            batch *= m1
     return tuple(out)
 
 
@@ -581,22 +620,62 @@ def mxu_ntt_t(values: jnp.ndarray, omega: int) -> jnp.ndarray:
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _fuse_mode() -> int:
+    """TOYNI_MXU_FUSE: 0 (default) = the round-3 pass structure, 1 = the
+    round-4 fused passes (transposed level-0 output + expanded-W twiddle
+    fusion). Measured on v5e at 2^24 (interleaved A/B, 30-iter chains):
+    fused is reproducibly ~2% SLOWER (5.30/5.33 vs 5.20/5.21 ms) — the
+    XLA transpose/mont_mul passes it removes were overlapping with
+    compute, and the in-kernel transposed writes cost more than they
+    save. Kept opt-in for re-evaluation on other TPU generations."""
+    import os
+
+    try:
+        return int(os.environ.get("TOYNI_MXU_FUSE", "0"))
+    except ValueError:
+        return 0
+
+
 def _apply_rec(x2d, tabs, level: int, interpret: bool):
-    """Transform along axis 0 of (m, B); natural order in and out."""
+    """Transform along axis 0 of (m, B); natural order in and out.
+
+    Round-4 pass structure (each bullet is one HBM round trip):
+    * B == 1 (the single-vector chain's first level): transposed-output
+      kernel with fused W — the level's global transpose happens in the
+      kernel's output block map, so the XLA transpose pass between level 0
+      and 1 is GONE (was ~2.1 ms isolated at 2^24).
+    * middle levels with an expanded-W table: kernel with fused W — the
+      separate XLA mont_mul pass is gone; only the (m1,m2,B)->(m2,m1*B)
+      transpose remains.
+    * fallback (int8 tables, 2-entry tables, W_EXPAND_MAX exceeded): the
+      round-1..3 unfused sequence."""
     m, B = x2d.shape
-    ml, W = tabs[level]
+    entry = tabs[level]
+    ml, W = entry[0], entry[1]
+    W_exp = entry[2] if len(entry) > 2 else None
     m1 = ml.shape[1]
     if W is None:
         return _dft_level(x2d, ml, interpret=interpret)
     m2 = m // m1
     y = x2d.reshape(m1, m2 * B)
-    if B == 1:
-        a = _dft_level(y, ml, W, fuse_w=True, interpret=interpret)
-        a = a.reshape(m1, m2, B)
+    fuse = _fuse_mode()
+    if fuse and B == 1:
+        # (m2, m1) transposed output IS the next level's input layout
+        at = _dft_level_t(y, ml, W, fuse_w=True, interpret=interpret)
     else:
-        a = _dft_level(y, ml, interpret=interpret).reshape(m1, m2, B)
-        a = bb.mont_mul(a, W[:, :, None])
-    at = a.transpose(1, 0, 2).reshape(m2, m1 * B)
+        if B == 1:
+            a = _dft_level(y, ml, W, fuse_w=True, interpret=interpret)
+            a = a.reshape(m1, m2, B)
+        elif fuse and W_exp is not None and W_exp.shape[1] == m2 * B:
+            # (width check: a data batch — apply_mxu_ntt_batched — widens B
+            # beyond the accumulated-batch layout W_exp was built for)
+            a = _dft_level(y, ml, W_exp, fuse_w=True, interpret=interpret)
+            a = a.reshape(m1, m2, B)
+        else:
+            a = _dft_level(y, ml, interpret=interpret).reshape(m1, m2, B)
+            a = bb.mont_mul(a, W[:, :, None])
+        at = a.transpose(1, 0, 2).reshape(m2, m1 * B)
     c = _apply_rec(at, tabs, level + 1, interpret)
     # c rows are k2 with column blocks (k1, B); flat order k2*m1 + k1 ✓
     return c.reshape(m, B)
