@@ -1,10 +1,19 @@
 """Minimal-repro search for the XLA:CPU accumulated-executables crash.
 
-Since round 1 the test suite segfaults/aborts inside XLA:CPU once ~20
-modules' worth of compiled executables accumulate in one process
-(tests/conftest.py works around it with jax.clear_caches() per module).
-This script compiles many distinct programs in ONE process to find the
-smallest trigger:
+ROOT CAUSE (found round 4, see tests/conftest.py): vm.max_map_count
+exhaustion. Each XLA:CPU executable JIT-maps many code/data sections;
+with executables retained by jit caches the process's /proc/self/maps
+count climbs ~10-20k per heavy test module until mmap fails at the
+kernel limit (65530) — "LLVM ERROR: Unable to allocate section memory!",
+SIGABRT. Deterministic repro: run tests/test_batch.py +
+tests/test_batch_p2.py with TOYNI_TEST_NO_CACHE_CLEAR=1 while sampling
+`grep -c '' /proc/<pid>/maps` — the abort lands as the count reaches the
+limit. Fix options: jax.clear_caches() when the count nears the limit
+(what conftest now does), or raise vm.max_map_count.
+
+The SYNTHETIC modes below did NOT reproduce (600 small shard_map
+compiles stay far below the map limit — program COUNT is not the
+trigger; total section count of LARGE programs is):
 
   python scripts/xla_cpu_crash_repro.py jit        # plain jits
   python scripts/xla_cpu_crash_repro.py shard_map  # shard_map'd programs

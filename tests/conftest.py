@@ -28,16 +28,36 @@ CPU_DEVICES = jax.local_devices(backend="cpu")
 jax.config.update("jax_default_device", CPU_DEVICES[0])
 
 
+# Crash root cause (found round 4): every XLA:CPU executable JIT-maps many
+# small code/data sections; accumulated live executables push the process
+# past the kernel's vm.max_map_count limit (65530 here), at which point
+# LLVM's section allocator fails ("LLVM ERROR: Unable to allocate section
+# memory!" / "compilation error: Cannot allocate memory") and the process
+# SIGABRTs. Reproduced deterministically by running test_batch.py +
+# test_batch_p2.py with clearing disabled while sampling /proc/self/maps:
+# the count climbs ~10-20k maps per heavy module and the abort lands as it
+# reaches the limit. jax.clear_caches() releases the executables (and
+# their maps) — hence the round-1 workaround worked. The fixture now
+# clears ONLY when the map count nears the limit, so light modules keep
+# their compiled shapes (fewer recompiles, faster suite).
+_MAP_CLEAR_THRESHOLD = 30_000  # limit 65530; heaviest single module ~+20k
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: no /proc — fall back to always clearing
+        return _MAP_CLEAR_THRESHOLD + 1
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
-    """Drop compiled executables between test modules.
-
-    This deployment's XLA:CPU segfaults/aborts while compiling (or cache-
-    serializing) a shard_map program once ~20 modules' worth of compiled
-    executables have accumulated in the process — reproducible at the same
-    test with the prior modules run first, and absent when any module runs
-    alone. Clearing jit caches at module boundaries keeps the live-executable
-    count low. Costs recompiles for shapes shared across modules (most are
-    module-local)."""
+    """Drop compiled executables between modules WHEN the process's memory-
+    map count nears vm.max_map_count (see note above). TOYNI_TEST_NO_CACHE_
+    CLEAR=1 disables entirely (the root-cause repro knob)."""
     yield
-    jax.clear_caches()
+    if os.environ.get("TOYNI_TEST_NO_CACHE_CLEAR") == "1":
+        return
+    if _map_count() > _MAP_CLEAR_THRESHOLD:
+        jax.clear_caches()

@@ -151,7 +151,11 @@ def _form() -> str:
 
         env = os.environ.get("TOYNI_SHA_FORM", "")
         legacy = os.environ.get("TOYNI_SHA_UNROLL", "")
-        if env in ("unrolled", "chunked", "rolled"):
+        if env in ("unrolled", "rolled") or (
+            env.startswith("chunked")
+            and (env == "chunked" or env[len("chunked"):] in
+                 ("2", "4", "8", "16", "32"))
+        ):
             _FORM = env
         elif legacy in ("0", "1"):
             _FORM = "unrolled" if legacy == "1" else "rolled"
@@ -216,16 +220,23 @@ def compress_words_unrolled(state, win):
     return state + out
 
 
-def compress_words_chunked(state, win):
-    """Chunked compression: `fori_loop` over eight 8-round chunks, the 8
-    rounds unrolled inside each chunk — 1/8 of the unrolled form's traced
-    ops with fusion kept within chunks (see `_form`). Round constants are
-    table-indexed (the loop index is traced, so constant message words are
-    materialized up front by the caller); the rolling 16-word schedule
-    window rides in the loop carry as a TUPLE, so the shift is free at
-    trace time. Identical bytes to the other forms."""
+def compress_words_chunked(state, win, n_chunks: int = 8):
+    """Chunked compression: `fori_loop` over `n_chunks` chunks of
+    64/n_chunks rounds, rounds unrolled inside each chunk — 1/n_chunks of
+    the unrolled form's traced ops with fusion kept within chunks (see
+    `_form`). Round constants are table-indexed (the loop index is traced,
+    so constant message words are materialized up front by the caller); the
+    rolling 16-word schedule window rides in the loop carry as a TUPLE, so
+    the shift is free at trace time. Identical bytes to the other forms.
+
+    Loop iterations cost ~0.85 ms each at 2^21-lane shapes on this backend
+    (PERF.md rule 6), so n_chunks trades program size against per-call loop
+    overhead: 8 (the round-3 form) for big fused programs, 4 or 2 where the
+    ~2-4x larger trace still compiles — the small-proof latency knob."""
     import jax
 
+    rounds = 64 // n_chunks
+    assert rounds * n_chunks == 64
     # an all-constant block (pure padding) broadcasts to the state's shape
     ref = next((w for w in win if not _is_c(w)), state[..., 0])
     win = tuple(
@@ -237,8 +248,8 @@ def compress_words_chunked(state, win):
     def chunk(ci, carry):
         a, b, c, d, e, f, g, h = carry[:8]
         win = carry[8:]
-        for t in range(8):
-            k_t = k_tab[ci * 8 + t]
+        for t in range(rounds):
+            k_t = k_tab[ci * rounds + t]
             S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
             ch = (e & f) ^ (~e & g)
             t1 = h + S1 + ch + k_t + win[0]
@@ -250,8 +261,13 @@ def compress_words_chunked(state, win):
             h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
         return (a, b, c, d, e, f, g, h) + win
 
-    out = jax.lax.fori_loop(0, 8, chunk, regs + win)
+    out = jax.lax.fori_loop(0, n_chunks, chunk, regs + win)
     return state + jnp.stack(out[:8], axis=-1)
+
+
+def _chunk_count(form: str) -> int:
+    """'chunked' -> 8 (the round-3 default), 'chunkedN' -> N chunks."""
+    return int(form[len("chunked"):] or 8)
 
 
 def compress(state, block):
@@ -268,9 +284,10 @@ def compress(state, block):
 
     if _unrolled():
         return compress_unrolled(state, block)
-    if _form() == "chunked":
+    if _form().startswith("chunked"):
         return compress_words_chunked(
-            state, [block[..., t] for t in range(16)]
+            state, [block[..., t] for t in range(16)],
+            _chunk_count(_form()),
         )
 
     k_tab = jnp.asarray(_K)
@@ -319,9 +336,9 @@ def sha256_words(wins):
     if form == "unrolled":
         for win in wins:
             state = compress_words_unrolled(state, win)
-    elif form == "chunked":
+    elif form.startswith("chunked"):
         for win in wins:
-            state = compress_words_chunked(state, win)
+            state = compress_words_chunked(state, win, _chunk_count(form))
     else:
         for win in wins:
             block = jnp.stack(

@@ -37,6 +37,19 @@ _U32 = jnp.uint32
 SEED = b"toyni-stark-v1"
 
 
+def _scalar_form() -> str:
+    """Compression form for the transcript's SCALAR (() -lane) hashing.
+
+    These hashes sit on the fused program's critical path — inside the
+    z-rejection and index-dedup while_loops a looped compression nests a
+    fori_loop per ratchet, pure overhead at scalar shapes (measured round
+    4: pinning unrolled took the fused 2^8 proof from 0.354 to 0.327
+    s/proof). A scalar 64-round unroll is ~1.3k ops per call site —
+    trivial MLIR on TPU, but XLA:CPU's compile time explodes on unrolled
+    SHA graphs, so off-TPU the ambient (rolled/chunked) form stays."""
+    return "unrolled" if sha._prefer_form() == "unrolled" else sha._form()
+
+
 def _bswap(w):
     """uint32 byte swap (BE word -> LE interpretation of the same 4 bytes)."""
     return (
@@ -148,14 +161,19 @@ def hash_parts(parts):
     byte_items = []
     for p in parts:
         byte_items += _part_bytes(p)
-    return sha.sha256_words(_to_blocks(byte_items, len(byte_items)))
+    with sha.forced(_scalar_form()):
+        return sha.sha256_words(_to_blocks(byte_items, len(byte_items)))
 
 
 def ratchet(d):
     """SHA256 of a bare 32-byte digest state — the squeeze ratchet when
-    nothing was absorbed since the last squeeze (rejection loops)."""
+    nothing was absorbed since the last squeeze (rejection loops). Pinned
+    to the unrolled compression on TPU (see _scalar_form — these ratchets
+    run INSIDE while_loop bodies, where a nested fori_loop form is pure
+    overhead)."""
     win = [d[i] for i in range(8)] + [0x80000000, 0, 0, 0, 0, 0, 0, 256]
-    return sha.sha256_words([win])
+    with sha.forced(_scalar_form()):
+        return sha.sha256_words([win])
 
 
 def squeeze4_ratchets(d):
