@@ -136,6 +136,9 @@ def _assert_storage_invisible(monkeypatch, **kw):
             mp.setattr(mk, "LEAFLESS_MIN", 512)
             mp.setattr(mk, "PRUNE_MIN", 1024)
             mp.setattr(mk, "PRUNE_DEPTH", 3)
+            # deep-pruned layers stream their bottom build in CHUNK_LANES
+            # chunks; 256 at LDE 2048 makes it a real 8-iteration fori_loop
+            mp.setattr(mk, "CHUNK_LANES", 256)
             mp.setattr(prover_mod, "SALTLESS_MIN", 1024)
             clear()
             got = _proof_bytes(**kw)

@@ -184,6 +184,68 @@ def prune_levels(n_leaves: int, salted: bool) -> int:
     return PRUNE_DEPTH
 
 
+# Lanes per chunk of a STREAMED huge-tree build (see _levels_salted_pruned):
+# 2^21 keeps the VPU fully fed while bounding the SHA working set to
+# ~20 x 8 MB of temps per chunk instead of ~20 x 256 MB+ for a whole
+# 2^26+ layer — the HLO-temp OOM that blocked the protocol ceiling.
+CHUNK_LANES = 1 << 21
+
+
+def _levels_salted_pruned(values, salts_arg, pruned: int, kind: str,
+                          mode: str = "base"):
+    """Stored levels (level `pruned` and up) of a salted tree, with the
+    bottom `pruned` levels built CHUNK-STREAMED in a fori_loop: each
+    iteration leaf-hashes CHUNK_LANES leaves (salts taken from the key or
+    sliced from the array), folds them `pruned` levels down, and writes
+    the chunk's level-`pruned` nodes. Neither the leaf-digest level nor
+    the full salt layer is ever materialized, the SHA temp working set is
+    per-chunk, and the unrolled compression is TRACED ONCE (the fori body)
+    instead of once per level — huge-tree builds stop being both the HBM
+    and the Python-tracing bottleneck. Identical bytes to the unstreamed
+    build (the chunking is pure scheduling)."""
+    import jax
+
+    h = _hash_backend(kind)
+    field = kind != "sha256"
+    n = values.shape[1] if mode == "multi" else values.shape[0]
+    chunks = max(1, n // CHUNK_LANES)
+    W = n // chunks
+    assert W % (1 << pruned) == 0
+
+    def _salt_slice(start):
+        if salts_arg.ndim == 1:  # (2,) threefry key (ops/salts.py)
+            from .ops import salts as salts_mod
+
+            idx = start + jnp.arange(W, dtype=jnp.uint32)
+            return salts_mod.salts_for_indices(salts_arg, idx, field)
+        return jax.lax.dynamic_slice_in_dim(salts_arg, start, W, axis=0)
+
+    def _leaf_digests(v, s):
+        if mode == "ext":
+            return h.hash_salted_leaves_ext(v, s)
+        if mode == "multi":
+            return h.hash_salted_leaves_multi(v, s)
+        return h.hash_salted_leaves(v, s)
+
+    def body(ci, out):
+        start = ci * W
+        if mode == "multi":
+            v = jax.lax.dynamic_slice_in_dim(values, start, W, axis=1)
+        else:
+            v = jax.lax.dynamic_slice_in_dim(values, start, W, axis=0)
+        d = _leaf_digests(v, _salt_slice(start))
+        for _ in range(pruned):
+            d = h.hash_nodes(d[0::2], d[1::2])
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, d, ci * (W >> pruned), axis=0
+        )
+
+    base = jax.lax.fori_loop(
+        0, chunks, body, jnp.zeros((n >> pruned, 8), jnp.uint32)
+    )
+    return _device_levels(base, kind)
+
+
 @functools.lru_cache(maxsize=64)
 def _tree_builder(n_leaves: int, salted: bool, ext: bool = False,
                   kind: str = "sha256", saltless: bool = False):
@@ -208,6 +270,12 @@ def _tree_builder(n_leaves: int, salted: bool, ext: bool = False,
         field = kind != "sha256"
 
         def f(values, salts_dev):
+            if pr >= 2:
+                # deep pruning = the huge-layer regime: stream the bottom
+                # of the tree chunk-wise (bounded temps, single-traced SHA)
+                return _levels_salted_pruned(
+                    values, salts_dev, pr, kind, "ext" if ext else "base"
+                )
             if saltless:
                 salts_dev = salts_mod.salts_full(salts_dev, n_leaves, field)
             lv = _device_levels(leaf_salted(values, salts_dev), kind)

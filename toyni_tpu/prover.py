@@ -78,10 +78,14 @@ def _xs_inv0_dev(N: int, shift: int, omega: int) -> jnp.ndarray:
 _DEFAULT_AIR = FibonacciAir()
 
 # Salted layers at or above this size are represented by their threefry KEY
-# alone (never materialized outside a device program): at the protocol
-# ceiling (LDE 2^27) stored salt arrays would cost ~2 GiB per salted layer,
-# ~10 GiB per proof — more than a v5e chip's HBM. See ops/salts.py.
-SALTLESS_MIN = 1 << 26
+# alone (never materialized outside a device program). 0 = ALWAYS, the
+# round-4 default: (a) at the protocol ceiling (LDE 2^27) stored salt
+# arrays would cost ~2 GiB per salted layer, ~10 GiB per proof — more than
+# a v5e chip's HBM; (b) standalone (n, 4) salt materializations are
+# layout-fragile on TPU — XLA assigned the eager 2^25-layer program a
+# minor-dim-4 tiled layout, padding 512 MB to 16 GB (measured OOM), while
+# in-graph generation leaves layout choices to temps. See ops/salts.py.
+SALTLESS_MIN = 0
 
 
 def _wrap_counted(fns: dict) -> dict:
@@ -178,6 +182,25 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
             return salts_mod.salts_full(s, count, field_salts)
         return s
 
+    def _commit_levels(values, salts_arg, mode="base"):
+        """Stored tree levels for one committed layer inside a commit
+        program: chunk-streamed at deep pruning (the huge-layer regime —
+        bounded SHA temps, single-traced compression; merkle.py), plain
+        batched build below it."""
+        from .merkle import _levels_salted_pruned
+
+        if pruned_n >= 2:
+            return _levels_salted_pruned(
+                values, salts_arg, pruned_n, hash_kind, mode
+            )
+        salts = _full_salts(salts_arg, N)
+        leaf = (
+            sha.hash_salted_leaves_multi(values, salts) if mode == "multi"
+            else sha.hash_salted_leaves(values, salts)
+        )
+        lv = _device_levels(leaf)
+        return lv[pruned_n:] if pruned_n else lv
+
     def commit(trace_col, r_mask, trace_salts, quot_salts, tb):
         """Phases 1-2 (fibonacci.rs:110-154) as one program: interpolate,
         mask, coset LDE, constraint, quotient, and both Merkle trees.
@@ -195,16 +218,12 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
 
         padded = jnp.pad(that, (0, N - L))
         trace_lde = apply_ntt(bb.mont_mul(padded, tb["shift_fwd"]), tb["fft"], N)
-        trace_levels = _device_levels(
-            sha.hash_salted_leaves(trace_lde, _full_salts(trace_salts, N))
-        )[pruned_n:]
+        trace_levels = _commit_levels(trace_lde, trace_salts)
 
         t_rolls = [jnp.roll(trace_lde, -k * blowup) for k in range(air.num_shifts)]
         c_evals = air.constraint_lde(t_rolls, tb["x"], g, n)
         q_evals = bb.mont_mul(c_evals, tb["zh_tile"])
-        quot_levels = _device_levels(
-            sha.hash_salted_leaves(q_evals, _full_salts(quot_salts, N))
-        )[pruned_n:]
+        quot_levels = _commit_levels(q_evals, quot_salts)
         return dict(
             trace_lde=trace_lde,
             q_evals=q_evals,
@@ -467,10 +486,7 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
                     apply_ntt(bb.mont_mul(padded, tb["shift_fwd"]), tb["fft"], N)
                 )
             lde_k = jnp.stack(ldes)
-            leaf = sha.hash_salted_leaves_multi(
-                lde_k, _full_salts(trace_salts, N)
-            )
-            levels = _device_levels(leaf)[pruned_n:]
+            levels = _commit_levels(lde_k, trace_salts, "multi")
             return dict(trace_lde=lde_k, trace_levels=levels)
 
         def commit_quot(trace_lde, quot_salts, alphas, tb):
@@ -484,9 +500,7 @@ def _phase_fns(n: int, N: int, L: int, blowup: int, coset_shift: int, air,
             else:
                 c_evals = air.constraint_lde(t_views, tb["x"], g, n)
             q_evals = bb.mont_mul(c_evals, tb["zh_tile"])
-            quot_levels = _device_levels(
-                sha.hash_salted_leaves(q_evals, _full_salts(quot_salts, N))
-            )[pruned_n:]
+            quot_levels = _commit_levels(q_evals, quot_salts)
             return dict(q_evals=q_evals, quot_levels=quot_levels)
 
         def ood_multi(trace_lde, q_evals, x, z):
