@@ -1,7 +1,7 @@
 """Hardware numbers for the non-default protocol modes (round-4 item:
 they were correctness-tested everywhere but never timed on the chip).
 
-Usage: timeout 1700 python scripts/modes_bench.py [log_rows] [iters]
+Usage: timeout 1700 python scripts/modes_bench.py [log_rows] [iters] [prover]
 
 Measures steady-state s/proof on the real TPU for:
   * ext       — StarkConfig(ext_challenges=True): z/betas from F_p^4,
@@ -10,10 +10,12 @@ Measures steady-state s/proof on the real TPU for:
                 row-bundle commitments, 2 shifts)
   * sbox      — SboxChainAir (x^7 nonlinear constraint,
                 constraint_degree=7 -> wider FRI budget)
-against the reference-shape base mode, all with the phase prover (the
-mode-complete prover; the fused prover covers these modes too but its
-cold-trace cost per mode would eat the budget — the DELTAS between modes
-are prover-independent). Host-verifies one proof per mode.
+against the reference-shape base mode. `prover` is 'phase' (default) or
+'fused'; at 2^16 use 'fused' — the phase prover's unrolled-SHA jaxpr
+tracing (~840 s/mode, PERF.md round 3) recurs per process, while the
+fused prover's chunked form compiles in ~9 min/mode and then hits the
+persistent executable cache. The DELTAS between modes are
+prover-independent. Host-verifies one proof per mode.
 """
 
 import sys
@@ -32,12 +34,16 @@ def main():
     from toyni_tpu.air import PairFibonacciAir, SboxChainAir
     from toyni_tpu.config import StarkConfig
     from toyni_tpu.field.babybear import P
-    from toyni_tpu.prover import StarkProver
     from toyni_tpu.trace import ExecutionTrace
     from toyni_tpu.verifier import StarkVerifier
 
     log_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    which = sys.argv[3] if len(sys.argv) > 3 else "phase"
+    if which == "fused":
+        from toyni_tpu.prover_fused import FusedStarkProver as StarkProver
+    else:
+        from toyni_tpu.prover import StarkProver
     rows = 1 << log_rows
 
     def fib_trace():
@@ -79,7 +85,7 @@ def main():
                         seed=10 + i).generate_proof()
         spp = (time.perf_counter() - t0) / iters
         results[name] = spp
-        print(f"{name:5s} rows=2^{log_rows}  first={compile_s:6.1f}s  "
+        print(f"{name:5s} {which} rows=2^{log_rows}  first={compile_s:6.1f}s  "
               f"steady={spp:.3f} s/proof ({1/spp:.2f} proofs/s)", flush=True)
     base = results.get("base")
     for name, spp in results.items():
