@@ -40,6 +40,8 @@ def main():
     log_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     which = sys.argv[3] if len(sys.argv) > 3 else "phase"
+    if which not in ("phase", "fused"):
+        sys.exit(f"unknown prover {which!r} (expected 'phase' or 'fused')")
     if which == "fused":
         from toyni_tpu.prover_fused import FusedStarkProver as StarkProver
     else:
