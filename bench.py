@@ -9,7 +9,9 @@ NTT via the DEFAULT accelerated path (the MXU limb-matmul NTT since round 2)
 — the kernel the reference accelerates with CUDA (cuda/ntt_kernel.cu). The
 reference publishes no numbers, so `vs_baseline` reports the speedup over
 this framework's own CPU execution of the identical computation (the
-reference's CPU-vs-accelerator comparison, src/ntt.rs:264-287, in spirit).
+reference's CPU-vs-accelerator comparison, src/ntt.rs:264-287, in spirit),
+against a PINNED CPU rate (`CPU_RATE_PINNED_BF_S`) so the ratio is
+comparable across rounds; the live CPU leg is reported in `extra`.
 
 `extra` carries the BASELINE.md end-to-end metrics. Mandatory stages:
 Fibonacci proofs/sec at trace 2^8 and 2^16 (full ZK pipeline,
@@ -41,6 +43,17 @@ LOG_N = 24
 CPU_LOG_N = 20  # CPU comparison size (same op, smaller for time), scaled
 DEADLINE_S = 1500  # leave driver-budget headroom for interpreter/teardown
 _T0 = time.perf_counter()
+
+# Pinned CPU reference rate for `vs_baseline` (round-5 fix, VERDICT r4 weak
+# #4): the LIVE CPU leg on this shared 4-core box swings ~4x run to run
+# (3-iter XLA:CPU timing under whatever else the box is doing), which made
+# the headline ratio useless for trend detection across rounds (73x -> 291x
+# -> 155x -> 91x for a near-constant TPU numerator). The pinned rate is the
+# median of 5 reps x 10 chained NTTs at 2^20 on this box (2026-08-21:
+# 14.3/14.3/15.5/15.8/19.8 ms -> 676 Mbf/s). The live CPU leg still runs
+# and is reported in extra as `cpu_ntt_ms_2e20_live` for drift detection;
+# `vs_baseline` = tpu_rate / this constant.
+CPU_RATE_PINNED_BF_S = 676e6
 
 
 def _remaining() -> float:
@@ -257,10 +270,14 @@ def main() -> None:
         if err:
             extra[key + "_error"] = err
 
-    # CPU comparison at a feasible size; butterflies/sec is size-normalized
-    cpu_sec = _bench_backend(cpu[0], CPU_LOG_N, iters=3)
-    cpu_n = 1 << CPU_LOG_N
-    cpu_rate = (cpu_n // 2 * CPU_LOG_N) / cpu_sec
+    # Live CPU leg (drift detection only — vs_baseline uses the PINNED rate
+    # so the headline ratio is comparable across rounds; see constant above)
+    try:
+        cpu_sec = _bench_backend(cpu[0], CPU_LOG_N, iters=3)
+        extra["cpu_ntt_ms_2e20_live"] = round(cpu_sec * 1e3, 1)
+    except Exception as e:  # noqa: BLE001
+        extra["cpu_ntt_ms_2e20_live"] = None
+        extra["cpu_leg_error"] = type(e).__name__
 
     print(
         json.dumps(
@@ -268,7 +285,7 @@ def main() -> None:
                 "metric": "ntt_butterflies_per_sec_2e24",
                 "value": round(tpu_rate),
                 "unit": "butterflies/s/chip",
-                "vs_baseline": round(tpu_rate / cpu_rate, 2),
+                "vs_baseline": round(tpu_rate / CPU_RATE_PINNED_BF_S, 2),
                 "extra": extra,
             }
         )

@@ -3,9 +3,9 @@
 Usage:  timeout 1700 python scripts/mxu_bench.py [log_n] [iters]
 
 Measures, with chained dispatches + one host read (PERF.md methodology):
-  * XLA VPU four-step (the current default)
-  * MXU v1 (ops/ntt_mxu.apply_mxu_ntt — recursion, XLA transposes)
-  * MXU v2 (apply_mxu_ntt_t — in-kernel transposes, fused twiddles)
+  * XLA VPU four-step (forced via _MXU_NTT=0)
+  * MXU v1 (ops/ntt_mxu.apply_mxu_ntt — bf16 recursion, XLA transposes)
+  * the env-selected default path (int8 balanced-digit tables on TPU)
 """
 
 import sys
@@ -71,25 +71,11 @@ def main():
     if ntt_ops._mxu_ntt_variant() not in (0, 1):
         env_tabs = ntt_ops.ntt_tables(n, om)
         bench("env-path", lambda v, t: ntt_ops.apply_ntt(v, t, n), env_tabs)
-    t_v2 = None
-    try:
-        # v2's fused-digit-reversal final level only lowers for 2-level sizes
-        # (n <= 2^16) on real TPU — see apply_mxu_ntt_t's docstring
-        v2_tabs = ntt_mxu.mxu_ntt_tables_t(n, om)
-        t_v2 = bench("mxu-v2", ntt_mxu.apply_mxu_ntt_t, v2_tabs)
-    except Exception as e:  # noqa: BLE001 — report and keep the A/B useful
-        print(f"mxu-v2        SKIPPED ({type(e).__name__})", flush=True)
-
     # correctness cross-check on device output heads
     a = np.asarray(jax.jit(lambda v, t: ntt_ops.apply_ntt(v, t, n))(x0, xla_tabs)[:128])
     b = np.asarray(jax.jit(ntt_mxu.apply_mxu_ntt)(x0, v1_tabs)[:128])
     assert np.array_equal(a, b), "formulations disagree"
-    if t_v2 is not None:
-        c = np.asarray(jax.jit(ntt_mxu.apply_mxu_ntt_t)(x0, v2_tabs)[:128])
-        assert np.array_equal(a, c), "v2 disagrees"
-        print(f"speedup v1 {t_xla/t_v1:.2f}x   v2 {t_xla/t_v2:.2f}x")
-    else:
-        print(f"speedup v1 {t_xla/t_v1:.2f}x")
+    print(f"speedup v1 {t_xla/t_v1:.2f}x")
 
 
 if __name__ == "__main__":

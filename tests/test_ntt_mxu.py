@@ -15,7 +15,6 @@ from toyni_tpu.ops.ntt_mxu import (
     _limbs_bf16_np,
     mxu_intt,
     mxu_ntt,
-    mxu_ntt_t,
 )
 
 
@@ -39,21 +38,6 @@ def test_mxu_matches_reference_all_sizes():
         want = np.asarray(ntt_ref(jnp.asarray(x), om), np.uint64)
         got = np.asarray(mxu_ntt(jnp.asarray(x), om), np.uint64)
         assert np.array_equal(want, got), f"mismatch at 2^{log_n}"
-
-
-def test_mxu_transposed_chain_matches():
-    """The fully-fused chain (in-kernel transposes, expanded twiddles, one
-    final digit-reversal) must equal the recursion bit-for-bit."""
-    rng = np.random.default_rng(4)
-    # incl. 3-level balanced chains (2^17 = 64*64*32 — non-uniform sizes,
-    # 2^18 = 64*64*64) — the fused digit-reversal's hardest index algebra
-    for log_n in (8, 12, 16, 17, 18):
-        n = 1 << log_n
-        om = get_root_of_unity(log_n)
-        x = rng.integers(0, P, n, dtype=np.uint64).astype(np.uint32)
-        want = np.asarray(ntt_ref(jnp.asarray(x), om), np.uint64)
-        got = np.asarray(mxu_ntt_t(jnp.asarray(x), om), np.uint64)
-        assert np.array_equal(want, got), f"fused chain mismatch at 2^{log_n}"
 
 
 def test_mxu_extreme_values():

@@ -216,16 +216,17 @@ _MXU_NTT = None
 
 def _mxu_ntt_env() -> int:
     """TOYNI_MXU_NTT env override: 0 = force off (XLA four-step), 1 = the
-    MXU four-step recursion (bf16 limb matmuls), 2 = the fully-fused
-    transposed-output chain (interpret/2-level-only on hardware — see
-    ntt_mxu.apply_mxu_ntt_t), 3 = the int8 balanced-digit variant (2x MXU
-    rate). Unset -> -1 (auto)."""
+    bf16 limb-matmul MXU recursion, 3 = the int8 balanced-digit variant
+    (the auto default on TPU since round 4). Unset -> -1 (auto). The former
+    =2 (fully-fused transposed-output chain) was retired in round 5 — it
+    could not lower for >=3-level sizes on hardware and had no batched
+    path; PERF.md keeps its measurements, git history the code."""
     global _MXU_NTT
     if _MXU_NTT is None:
         import os
 
         v = os.environ.get("TOYNI_MXU_NTT", "")
-        _MXU_NTT = int(v) if v in ("0", "1", "2", "3") else -1
+        _MXU_NTT = int(v) if v in ("0", "1", "3") else -1
     return _MXU_NTT
 
 
@@ -303,14 +304,9 @@ def ntt_tables(size: int, omega: int):
     remote-compile request)."""
     if size >= _FOUR_STEP_MIN:
         if _mxu_ntt_enabled() and not (_mxu_auto() and size < _MXU_MIN):
-            from .ntt_mxu import (
-                mxu_ntt_tables, mxu_ntt_tables_i8, mxu_ntt_tables_t,
-            )
+            from .ntt_mxu import mxu_ntt_tables, mxu_ntt_tables_i8
 
-            v = _mxu_ntt_variant()
-            if v == 2:
-                return mxu_ntt_tables_t(size, omega)
-            if v == 3:
+            if _mxu_ntt_variant() == 3:
                 return mxu_ntt_tables_i8(size, omega)
             return mxu_ntt_tables(size, omega)
         _, _, colt, rowt, W = _four_step_tables_dev(size, omega)
@@ -319,14 +315,14 @@ def ntt_tables(size: int, omega: int):
 
 
 def _is_mxu_tabs(tabs) -> bool:
-    """MXU level tables: a tuple of (M_limbs bf16 (4,m,m), W|None) pairs —
+    """MXU level tables: a tuple of (M_limbs (4,m,m), W|None) pairs —
     structurally distinct from both four-step and per-stage twiddle tables,
     so they can ride through jit arguments without a tag."""
     return (
         isinstance(tabs, tuple)
         and len(tabs) > 0
         and isinstance(tabs[0], tuple)
-        and len(tabs[0]) in (2, 3)  # 3 = round-4 expanded-W entries
+        and len(tabs[0]) == 2
         and getattr(tabs[0][0], "ndim", 0) == 3
     )
 
@@ -334,10 +330,8 @@ def _is_mxu_tabs(tabs) -> bool:
 def apply_ntt(values: jnp.ndarray, tabs, size: int) -> jnp.ndarray:
     """Transform with explicitly-supplied tables (jit-argument safe)."""
     if _is_mxu_tabs(tabs):
-        from .ntt_mxu import apply_mxu_ntt, apply_mxu_ntt_t
+        from .ntt_mxu import apply_mxu_ntt
 
-        if _mxu_ntt_variant() == 2:
-            return apply_mxu_ntt_t(values, tabs)
         return apply_mxu_ntt(values, tabs)
     if size >= _FOUR_STEP_MIN:
         return four_step_apply(values, tabs)
@@ -353,12 +347,6 @@ def ntt_batched(values: jnp.ndarray, tabs, size: int) -> jnp.ndarray:
     if size < _FOUR_STEP_MIN:
         return ntt_stages(values, tabs)
     if _is_mxu_tabs(tabs):
-        if _mxu_ntt_variant() == 2:
-            # v2's expanded-W tables are shaped for the single-vector fused
-            # chain only; the batched path needs the v1 recursion's tables.
-            raise NotImplementedError(
-                "TOYNI_MXU_NTT=2 has no batched path; use TOYNI_MXU_NTT=1"
-            )
         from .ntt_mxu import apply_mxu_ntt_batched
 
         return apply_mxu_ntt_batched(values, tabs)

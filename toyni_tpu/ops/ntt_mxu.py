@@ -27,12 +27,19 @@ Reference analog: the CUDA kernel's per-stage butterflies
 (cuda/ntt_kernel.cu:119-137) — re-mapped from SIMT butterflies to systolic
 matmuls, the TPU's native compute shape.
 
-This is the DEFAULT accelerated path on TPU targets since round 2 — v1 (the
-four-step recursion over these kernels) measured 5.14 ms vs 6.37 ms for the
-XLA four-step at 2^24 (PERF.md). Override with TOYNI_MXU_NTT=0 (force the
-XLA four-step), =1 (force v1), =2 (the fully-fused transposed-output chain;
-interpret/2-level-only on hardware). CPU targets always use XLA — these
+This is the DEFAULT accelerated path on TPU targets since round 2 (the int8
+balanced-digit variant since round 4: 4.47 ms / 45.0 Gbf/s at 2^24 vs 5.2
+bf16 and 6.3 XLA). Override with TOYNI_MXU_NTT=0 (force the XLA four-step)
+or =1 (force the bf16 limb variant). CPU targets always use XLA — these
 kernels would run in Pallas interpret mode there.
+
+Retired experiment residue (round 5, win-or-retire rule — git history keeps
+the code, PERF.md keeps the measurements): TOYNI_MXU_NTT=2 (the fully-fused
+transposed-output chain — could not lower for >=3-level sizes on hardware
+and had no batched path) and TOYNI_MXU_FUSE=1 (transposed level-0 output +
+expanded-W twiddle fusion — reproducibly ~2% SLOWER than the unfused
+structure in interleaved A/Bs at 2^24; the XLA passes it removed were
+overlapping with compute).
 """
 
 from __future__ import annotations
@@ -325,55 +332,6 @@ def _dft_level(x2d, ml, w=None, *, fuse_w=False, interpret=False):
     )(*args)
 
 
-def _level_t_kernel(m: int, TB: int, fuse_w: bool, i8: bool = False):
-    """Transposed-output variant: the (m, TB) result tile is written as
-    (TB, m) — the level's global transpose happens inside the kernel, so
-    the chain needs NO standalone XLA transpose passes between levels."""
-    inner = (_level_kernel_i8 if i8 else _level_kernel)(m, TB, fuse_w)
-
-    def kernel(x_ref, ml_ref, *rest):
-        o_ref = rest[-1]
-
-        class _T:
-            def __setitem__(self, _slc, v):
-                o_ref[:] = v.T
-
-        inner(x_ref, ml_ref, *rest[:-1], _T())
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("fuse_w", "interpret"))
-def _dft_level_t(x2d, ml, w=None, *, fuse_w=False, interpret=False):
-    """One DFT level along axis 0 of (m, C) u32 with TRANSPOSED output
-    (C, m): out[c, k] = (M @ x)[k, c] (optionally * w[k, c], Montgomery)."""
-    m, C = x2d.shape
-    TB = min(C, _tb_cap())
-    assert C % TB == 0
-    in_specs = [
-        pl.BlockSpec((m, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec(ml.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-    ]
-    args = [x2d, ml]
-    if fuse_w:
-        in_specs.append(
-            pl.BlockSpec((m, TB), lambda i: (0, i), memory_space=pltpu.VMEM)
-        )
-        args.append(w)
-    return pl.pallas_call(
-        _level_t_kernel(m, TB, fuse_w, i8=ml.dtype == jnp.int8),
-        out_shape=jax.ShapeDtypeStruct((C, m), _U32),
-        grid=(C // TB,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((TB, m), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(*args)
-
-
 def _factor_levels(n: int) -> list:
     """Split n into four-step levels: the fewest levels with every size
     <= 256 (the f32-exactness bound — 255^2 * 256 < 2^24), BALANCED.
@@ -420,262 +378,71 @@ def _mxu_tables_np(n: int, omega: int):
     return tuple(out)
 
 
-# Expanded-W tables (W repeated across the accumulated batch so middle
-# levels can FUSE the twiddle multiply into the kernel) cost ~n u32 of HBM
-# per middle level; cap them to bench-scale sizes so protocol-ceiling
-# transforms (2^26+) don't spend a GB of HBM on tables.
-_W_EXPAND_MAX = 1 << 25
-
-
 @functools.lru_cache(maxsize=16)
 def mxu_ntt_tables(n: int, omega: int):
     """Device-resident level tables — pass INTO jitted programs as an
-    argument (PERF.md rule 2).
-
-    Each entry is (M_limbs bf16, W | None, W_expanded | None): W is the
-    (m1, m2) twiddle matrix (batched path + fallbacks), W_expanded repeats
-    each twiddle across the level's accumulated batch columns so the v1
-    chain can fuse the multiply into the level kernel (round 4: one fewer
-    full elementwise HBM pass per middle level)."""
+    argument (PERF.md rule 2). Each entry is (M_limbs bf16, W | None):
+    W is the (m1, m2) four-step twiddle matrix (None on the leaf level)."""
     base = _mxu_tables_np(n, omega)
     out = []
-    batch = 1
     with jax.ensure_compile_time_eval():
         for (m1, m2, ml, W) in base:
             if W is None:
-                out.append((jnp.asarray(ml), None, None))
+                out.append((jnp.asarray(ml), None))
                 break
-            if batch == 1 or not _fuse_mode():
-                w_exp = None  # level 0's W is already kernel-shaped
-            elif n <= _W_EXPAND_MAX:
-                exp = np.broadcast_to(
-                    W[:, :, None], (m1, m2, batch)
-                ).reshape(m1, m2 * batch)
-                w_exp = jnp.asarray(np.ascontiguousarray(exp))
-            else:
-                w_exp = None
-            out.append((jnp.asarray(ml), jnp.asarray(W), w_exp))
-            batch *= m1
+            out.append((jnp.asarray(ml), jnp.asarray(W)))
     return tuple(out)
 
 
 @functools.lru_cache(maxsize=16)
 def mxu_ntt_tables_i8(n: int, omega: int):
-    """Level tables with int8 balanced-digit DFT matrices (the int8 MXU
-    variant, TOYNI_MXU_NTT=3): same recursion/W tables, matrices re-encoded
+    """Level tables with int8 balanced-digit DFT matrices (the DEFAULT TPU
+    variant since round 4): same recursion/W tables, matrices re-encoded
     so the dots run on the 394-TOPS int8 systolic path."""
     base = _mxu_tables_np(n, omega)
     levels = _factor_levels(n)
     om = omega
     out = []
-    batch = 1
     with jax.ensure_compile_time_eval():
         for li, (m1, m2, _ml, W) in enumerate(base):
             if li == len(levels) - 1:
                 mat = _dft_matrix_np(m1, om)
             else:
                 mat = _dft_matrix_np(m1, pow(om, m2, P))
-            if (W is None or batch == 1 or n > _W_EXPAND_MAX
-                    or not _fuse_mode()):
-                w_exp = None
-            else:
-                exp = np.broadcast_to(
-                    W[:, :, None], (m1, m2, batch)
-                ).reshape(m1, m2 * batch)
-                w_exp = jnp.asarray(np.ascontiguousarray(exp))
             out.append((
                 jnp.asarray(_digits_i8_np(mat)),
                 None if W is None else jnp.asarray(W),
-                w_exp,
             ))
             om = pow(om, m1, P)
-            batch *= m1
     return tuple(out)
-
-
-@functools.partial(jax.jit, static_argnames=("sizes", "interpret"))
-def _dft_level_final(x2d, ml, *, sizes, interpret=False):
-    """Last level with the digit-reversal fused into the OUTPUT block map.
-
-    Input (m_L, C), C = m1*...*m_{L-1}, columns ordered (k1, ..., k_{L-1})
-    with k1 most significant. Output is the natural-order cube
-    (m_L, m_{L-1}, ..., m_1) flattened to (n,): each grid step computes one
-    (m_L, m_{L-1}) tile — a fixed tuple of the higher digits — and writes it
-    at block coordinates (0, 0, k_{L-2}, ..., k_1). No transpose anywhere,
-    in or out of the kernel; the tile IS the natural (k_L, k_{L-1}) slab."""
-    sizes = tuple(sizes)
-    L = len(sizes)
-    m = sizes[-1]
-    assert L >= 2 and x2d.shape[0] == m
-    TB = sizes[-2]
-    digit_sizes = sizes[:-2]  # (m1, ..., m_{L-2}), k1 most significant
-    grid = 1
-    for s in digit_sizes:
-        grid *= s
-    out_shape = tuple(reversed(sizes))
-    block = (m, TB) + (1,) * (L - 2)
-    # place value of each digit (k1 first)
-    places = []
-    acc = 1
-    for s in reversed(digit_sizes):
-        places.append(acc)
-        acc *= s
-    places = list(reversed(places))
-
-    def imap(i):
-        digs = []
-        rest = i
-        for pv in places:
-            digs.append(rest // pv)
-            rest = rest % pv
-        return (0, 0) + tuple(reversed(digs))
-
-    base = _level_kernel(m, TB, False)
-
-    def kernel(x_ref, ml_ref, o_ref):
-        class _W:
-            def __setitem__(self, _slc, v):
-                o_ref[:] = v.reshape(block)
-
-        base(x_ref, ml_ref, _W())
-
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(out_shape, _U32),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((m, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(ml.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(block, imap, memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(x2d, ml).reshape(-1)
-
-
-@functools.lru_cache(maxsize=16)
-def mxu_ntt_tables_t(n: int, omega: int):
-    """Tables for the fully-fused (transposed-output) chain: per level
-    (M_limbs bf16, W expanded to the level's full column width | None).
-    Expanded W repeats each twiddle across the accumulated batch columns so
-    the in-kernel fused multiply sees a same-shape tile."""
-    base = _mxu_tables_np(n, omega)
-    out = []
-    batch = 1
-    m = n
-    with jax.ensure_compile_time_eval():
-        for (m1, m2, ml, W) in base:
-            if W is None:
-                out.append((jnp.asarray(ml), None))
-                break
-            exp = np.broadcast_to(W[:, :, None], (m1, m2, batch))
-            out.append(
-                (jnp.asarray(ml), jnp.asarray(exp.reshape(m1, m2 * batch)))
-            )
-            batch *= m1
-            m = m2
-    return tuple(out)
-
-
-def apply_mxu_ntt_t(values: jnp.ndarray, tabs) -> jnp.ndarray:
-    """Forward NTT via transposed-output MXU levels: every level is ONE
-    Pallas pass (DFT matmul + fused twiddle + in-kernel transpose), and the
-    final digit reversal is fused into the last level's output block map —
-    zero XLA transposes end to end. Same contract as `apply_mxu_ntt`
-    (bit-identical; tested).
-
-    REAL-TPU LIMITATION (measured 2026-08): for >=3-level sizes (n > 2^16)
-    the fused digit-reversal output block is (m_L, m_{L-1}, 1, ...) and
-    Mosaic requires the last two block dims divisible by (8, 128) or equal
-    to the array dims — the final `_dft_level_final` does not lower. Any
-    other layout either isn't the natural flat order or needs the very XLA
-    transpose this path exists to avoid. Use v1 (`apply_mxu_ntt`) on
-    hardware — it beats the XLA four-step (5.1 vs 6.4 ms at 2^24); v2 runs
-    everywhere in interpret mode and on TPU for 2-level sizes."""
-    n = values.shape[0]
-    interpret = _interpret()
-    sizes = [ml.shape[1] for ml, _ in tabs]
-    L = len(sizes)
-    v = values.reshape(sizes[0], n // sizes[0])
-    if L == 1:
-        return _dft_level_t(v, tabs[0][0], interpret=interpret).reshape(n)
-    for li in range(L - 1):
-        ml, W = tabs[li]
-        m = sizes[li]
-        v = v.reshape(m, n // m)
-        v = _dft_level_t(v, ml, W, fuse_w=True, interpret=interpret)
-    ml_last = tabs[-1][0]
-    return _dft_level_final(
-        v.reshape(sizes[-1], n // sizes[-1]), ml_last,
-        sizes=tuple(sizes), interpret=interpret,
-    )
-
-
-def mxu_ntt_t(values: jnp.ndarray, omega: int) -> jnp.ndarray:
-    return apply_mxu_ntt_t(
-        values, mxu_ntt_tables_t(values.shape[0], omega)
-    )
-
-
-@functools.lru_cache(maxsize=1)
-def _fuse_mode() -> int:
-    """TOYNI_MXU_FUSE: 0 (default) = the round-3 pass structure, 1 = the
-    round-4 fused passes (transposed level-0 output + expanded-W twiddle
-    fusion). Measured on v5e at 2^24 (interleaved A/B, 30-iter chains):
-    fused is reproducibly ~2% SLOWER (5.30/5.33 vs 5.20/5.21 ms) — the
-    XLA transpose/mont_mul passes it removes were overlapping with
-    compute, and the in-kernel transposed writes cost more than they
-    save. Kept opt-in for re-evaluation on other TPU generations."""
-    import os
-
-    try:
-        return int(os.environ.get("TOYNI_MXU_FUSE", "0"))
-    except ValueError:
-        return 0
 
 
 def _apply_rec(x2d, tabs, level: int, interpret: bool):
     """Transform along axis 0 of (m, B); natural order in and out.
 
-    Round-4 pass structure (each bullet is one HBM round trip):
-    * B == 1 (the single-vector chain's first level): transposed-output
-      kernel with fused W — the level's global transpose happens in the
-      kernel's output block map, so the XLA transpose pass between level 0
-      and 1 is GONE (was ~2.1 ms isolated at 2^24).
-    * middle levels with an expanded-W table: kernel with fused W — the
-      separate XLA mont_mul pass is gone; only the (m1,m2,B)->(m2,m1*B)
-      transpose remains.
-    * fallback (int8 tables, 2-entry tables, W_EXPAND_MAX exceeded): the
-      round-1..3 unfused sequence."""
+    Pass structure (each step is one HBM round trip): the single-vector
+    chain's first level (B == 1) fuses the W twiddle multiply into the
+    level kernel (W is already kernel-shaped there); deeper levels run the
+    kernel, then one XLA mont_mul + transpose pass. The round-4 fully-
+    fused variants (transposed-output level 0, expanded-W middle levels —
+    TOYNI_MXU_FUSE / TOYNI_MXU_NTT=2) measured reproducibly ~2% SLOWER in
+    interleaved A/Bs at 2^24 (the XLA passes they removed overlap with
+    compute; PERF.md round 4) and were retired in round 5 per the
+    win-or-retire rule — git history keeps the code."""
     m, B = x2d.shape
-    entry = tabs[level]
-    ml, W = entry[0], entry[1]
-    W_exp = entry[2] if len(entry) > 2 else None
+    ml, W = tabs[level][0], tabs[level][1]
     m1 = ml.shape[1]
     if W is None:
         return _dft_level(x2d, ml, interpret=interpret)
     m2 = m // m1
     y = x2d.reshape(m1, m2 * B)
-    fuse = _fuse_mode()
-    if fuse and B == 1:
-        # (m2, m1) transposed output IS the next level's input layout
-        at = _dft_level_t(y, ml, W, fuse_w=True, interpret=interpret)
+    if B == 1:
+        a = _dft_level(y, ml, W, fuse_w=True, interpret=interpret)
+        a = a.reshape(m1, m2, B)
     else:
-        if B == 1:
-            a = _dft_level(y, ml, W, fuse_w=True, interpret=interpret)
-            a = a.reshape(m1, m2, B)
-        elif fuse and W_exp is not None and W_exp.shape[1] == m2 * B:
-            # (width check: a data batch — apply_mxu_ntt_batched — widens B
-            # beyond the accumulated-batch layout W_exp was built for)
-            a = _dft_level(y, ml, W_exp, fuse_w=True, interpret=interpret)
-            a = a.reshape(m1, m2, B)
-        else:
-            a = _dft_level(y, ml, interpret=interpret).reshape(m1, m2, B)
-            a = bb.mont_mul(a, W[:, :, None])
-        at = a.transpose(1, 0, 2).reshape(m2, m1 * B)
+        a = _dft_level(y, ml, interpret=interpret).reshape(m1, m2, B)
+        a = bb.mont_mul(a, W[:, :, None])
+    at = a.transpose(1, 0, 2).reshape(m2, m1 * B)
     c = _apply_rec(at, tabs, level + 1, interpret)
     # c rows are k2 with column blocks (k1, B); flat order k2*m1 + k1 ✓
     return c.reshape(m, B)
