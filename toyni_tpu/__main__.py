@@ -66,12 +66,22 @@ def cmd_prove(args) -> int:
     air, t, deg = _make_air(args.air, args.rows)
     cfg = StarkConfig(ext_challenges=args.ext, constraint_degree=deg,
                       hash=args.hash)
-    # default = the fused single-dispatch prover at EVERY size — the
-    # measured winner across the board since round 3's chunked compression
-    # (0.39 vs 0.65 s/proof at 2^8, 0.61 vs 1.13 at 2^16, 8.5 vs 10.6 at
-    # 2^20 on v5e; PERF.md round-3 table) — and in every hash mode (the
-    # device transcript absorbs Poseidon2 roots as their LE wire bytes).
-    use_fused = args.fused or not args.phase
+    # default = the fused single-dispatch prover up to trace 2^20 — the
+    # measured winner at every size it fits (0.39 vs 0.65 s/proof at 2^8,
+    # 0.61 vs 1.13 at 2^16, 8.5 vs 10.6 at 2^20 on v5e; PERF.md round-3
+    # table) — in every hash mode (the device transcript absorbs Poseidon2
+    # roots as their LE wire bytes). ABOVE 2^20 the phase prover is the
+    # default: the fused program retains every tree level and salt layer as
+    # live values of ONE program (prover_fused.tree_salted), which at trace
+    # 2^21 / LDE 2^26 needs ~4 GB per SHA tree x 2 commit trees + ~1 GB per
+    # (N,4) salt layer x ~13 salted layers — far over a v5e's 16 GB HBM.
+    # The ceiling-regime memory machinery (7-level-pruned storage, chunk-
+    # streamed builds, key-form salts; PERF.md round 4) is phase-prover
+    # only: it needs values to DIE between phases, which a single fused
+    # program by construction prevents. --fused still forces it.
+    _FUSED_MAX_ROWS = 1 << 20
+    use_fused = args.fused or (not args.phase
+                               and args.rows <= _FUSED_MAX_ROWS)
     if use_fused:
         from toyni_tpu.prover_fused import FusedStarkProver as prover_cls
     else:
