@@ -243,7 +243,9 @@ def main() -> None:
     # persistent compilation cache everything fits; cold, the optionals
     # degrade gracefully (omitted keys — see the metric contract above).
     for key, rows, iters, budget, prover, optional in (
-        ("proofs_per_sec_2e8", 1 << 8, 5, 420, "fused", False),
+        # 10 iters: per-dispatch tunnel-latency variance (+/-50% on a busy
+        # box) averages out; each warm iteration costs ~0.35 s
+        ("proofs_per_sec_2e8", 1 << 8, 10, 420, "fused", False),
         ("proofs_per_sec_2e16", 1 << 16, 2, 1200, "fused", False),
         # highest-throughput configuration: 8 proofs per dispatch
         # (0.19 s/proof at 2^8 on v5e, PERF.md round-2 table)
@@ -253,7 +255,7 @@ def main() -> None:
         ("proofs_per_sec_2e20", 1 << 20, 1, 420, "fused", True),
         # Poseidon2 commitments: wins at 2^8 (0.28 s/proof), loses to SHA
         # at 2^16 (0.79 vs 0.605) — both sides driver-visible
-        ("proofs_per_sec_2e8_p2", 1 << 8, 5, 240, "fused_p2", True),
+        ("proofs_per_sec_2e8_p2", 1 << 8, 10, 240, "fused_p2", True),
         ("proofs_per_sec_2e16_p2", 1 << 16, 2, 360, "fused_p2", True),
     ):
         budget = min(budget, _remaining() - 90)  # keep teardown headroom
