@@ -2,6 +2,9 @@
 they were correctness-tested everywhere but never timed on the chip).
 
 Usage: timeout 1700 python scripts/modes_bench.py [log_rows] [iters] [prover]
+                                                  [modes]
+`modes` is a comma list subset of base,ext,pair,sbox (default: all) — lets
+a re-run finish the tail modes when a budget expired mid-sweep.
 
 Measures steady-state s/proof on the real TPU for:
   * ext       — StarkConfig(ext_challenges=True): z/betas from F_p^4,
@@ -75,6 +78,12 @@ def main():
         ("pair", pair_trace, pair_air, StarkConfig()),
         ("sbox", sbox_trace, sbox_air, StarkConfig(constraint_degree=7)),
     ]
+    if len(sys.argv) > 4:
+        want = set(sys.argv[4].split(","))
+        unknown = want - {m[0] for m in modes}
+        if unknown:
+            sys.exit(f"unknown modes {sorted(unknown)!r}")
+        modes = [m for m in modes if m[0] in want]
     results = {}
     for name, mk, air, cfg in modes:
         t0 = time.perf_counter()
