@@ -21,9 +21,14 @@ cold-trace than the phase prover (whose unrolled-SHA tree programs cost a
 cold process ~840 s of Python tracing at 2^16 — the round-2 stage
 timeout). Optional stages, run best-effort in priority order with the
 remaining budget: batched throughput (FusedBatchStarkProver, B=8, the
-highest-throughput configuration), trace 2^20 (the large-proof regime,
-phase prover), and the Poseidon2-commitment mode at 2^8 and 2^16 (both
-sides of the measured SHA/Poseidon2 crossover, PERF.md "Poseidon2").
+highest-throughput configuration) and the Poseidon2-commitment mode at
+2^8 (the win side of the measured SHA/Poseidon2 crossover, PERF.md
+"Poseidon2"). Trace 2^20 is deliberately NOT a driver stage
+(round-5 finding): its warm wall is ~14 min of per-process Python
+TRACING (jaxprs don't persist; only executables do), which both exceeds
+any sane stage budget and starves every stage after it — the large-proof
+regime is recorded in PERF.md instead (8.24 s/proof at 2^20, 10.21 s at
+2^21, 18.28 s at 2^22, all hardware-measured).
 
 Stages respect a deadline so the driver's 1700 s budget is never
 exceeded. Metric contract: MANDATORY keys are always present (null +
@@ -237,26 +242,30 @@ def main() -> None:
     # end-to-end proofs/sec (BASELINE.md metrics): each stage runs in a
     # child process under a hard timeout sized to what the deadline allows.
     # Two mandatory fused stages, then optional stages best-effort in
-    # priority order (batched throughput, the 2^20 large-proof regime, and
-    # both sides of the SHA/Poseidon2 crossover); the deadline guard
-    # protects the headline metric if a stage cannot fit. With a warm
-    # persistent compilation cache everything fits; cold, the optionals
-    # degrade gracefully (omitted keys — see the metric contract above).
+    # priority order (batched throughput, then the Poseidon2 2^8 stage);
+    # the deadline guard protects the headline metric if a stage cannot
+    # fit. Round-5 accounting: even fully warm, each stage's wall is
+    # dominated by per-process Python TRACING (executables persist across
+    # processes; jaxprs cannot): ~320-350 s for batch8/p2_2e8 on top of
+    # ~700 s of mandatory+NTT+CPU legs, which is why the stage list stops
+    # there — PERF.md round 5 carries the hardware measurements of every
+    # configuration including the ones too tracing-heavy for this window
+    # (2^20: 8.24 s/proof; p2@2^16: 0.84 s/proof).
     for key, rows, iters, budget, prover, optional in (
         # 10 iters: per-dispatch tunnel-latency variance (+/-50% on a busy
         # box) averages out; each warm iteration costs ~0.35 s
         ("proofs_per_sec_2e8", 1 << 8, 10, 420, "fused", False),
         ("proofs_per_sec_2e16", 1 << 16, 2, 1200, "fused", False),
         # highest-throughput configuration: 8 proofs per dispatch
-        # (0.19 s/proof at 2^8 on v5e, PERF.md round-2 table)
-        ("proofs_per_sec_2e8_batched", 1 << 8, 2, 300, "batch8", True),
-        # the large-proof regime (item: ceiling visibility in the driver
-        # record; fused wins at every size since round 3)
-        ("proofs_per_sec_2e20", 1 << 20, 1, 420, "fused", True),
-        # Poseidon2 commitments: wins at 2^8 (0.28 s/proof), loses to SHA
-        # at 2^16 (0.79 vs 0.605) — both sides driver-visible
-        ("proofs_per_sec_2e8_p2", 1 << 8, 10, 240, "fused_p2", True),
-        ("proofs_per_sec_2e16_p2", 1 << 16, 2, 360, "fused_p2", True),
+        # (0.091 s/proof at 2^8 on v5e, PERF.md round-5 table); budget =
+        # measured warm wall (tracing-dominated ~350 s) + margin
+        ("proofs_per_sec_2e8_batched", 1 << 8, 2, 480, "batch8", True),
+        # Poseidon2 commitments, the crossover's win side (0.30 s/proof at
+        # 2^8). The lose side (p2 at 2^16: 0.84 vs SHA 0.62) is PERF.md-
+        # only: its warm wall measured 820 s of tracing — it can never
+        # succeed inside a driver-window optional budget, so listing it
+        # would only burn the tail (round-5 stage-wall measurements).
+        ("proofs_per_sec_2e8_p2", 1 << 8, 10, 420, "fused_p2", True),
     ):
         budget = min(budget, _remaining() - 90)  # keep teardown headroom
         if budget < 120:
